@@ -1,0 +1,87 @@
+"""Host I/O layer vs the demo data and Biopython-equivalent behavior."""
+
+import gzip
+import os
+
+from tests.conftest import requires_demo
+
+from topsicle_tpu.io.reader import extension_format, parse_records, sniff_format
+from topsicle_tpu.io.writer import file_label, subset_path, write_record
+from topsicle_tpu.io.reader import SeqRecord
+
+
+@requires_demo
+def test_demo_parse_counts(demo_fastq):
+    recs = list(parse_records(demo_fastq))
+    assert len(recs) == 44
+    assert sum(len(r.seq) for r in recs) == 815896  # SURVEY.md §6
+
+
+@requires_demo
+def test_demo_sniff(demo_fastq):
+    assert sniff_format(demo_fastq) == "fastq"
+
+
+@requires_demo
+def test_subset_roundtrip_bytes(demo_fastq, demo_subset, tmp_path):
+    """Rewriting the 17 passing reads must byte-match the reference's
+    committed subset file (Biopython SeqIO.write format)."""
+    with open(demo_subset) as fh:
+        want = fh.read()
+    keep_ids = {
+        line[1:].split()[0]
+        for line in want.splitlines()[::4]
+    }
+    out = tmp_path / "subset.fastq"
+    with open(out, "w") as fh:
+        for rec in parse_records(demo_fastq):
+            if rec.id in keep_ids:
+                write_record(fh, rec, "fastq")
+    assert out.read_text() == want
+
+
+def test_fasta_parse_multiline(tmp_path):
+    p = tmp_path / "x.fasta"
+    p.write_text(">r1 some description\nACGT\nACGT\n>r2\nTTTT\n")
+    recs = list(parse_records(str(p)))
+    assert [r.id for r in recs] == ["r1", "r2"]
+    assert recs[0].seq == "ACGTACGT"
+    assert recs[0].header == "r1 some description"
+
+
+def test_fasta_write_wraps_at_60(tmp_path):
+    rec = SeqRecord(id="r", header="r", seq="A" * 130)
+    p = tmp_path / "o.fasta"
+    with open(p, "w") as fh:
+        write_record(fh, rec, "fasta")
+    lines = p.read_text().splitlines()
+    assert lines[0] == ">r"
+    assert [len(x) for x in lines[1:]] == [60, 60, 10]
+
+
+def test_gzip_roundtrip(tmp_path):
+    p = tmp_path / "x.fastq.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write("@r1 d\nACGT\n+r1\nIIII\n")
+    recs = list(parse_records(str(p)))
+    assert recs[0].id == "r1"
+    assert recs[0].qual == "IIII"
+    assert sniff_format(str(p)) == "fastq"
+
+
+def test_extension_format_rules():
+    # main.py:68-81 — only .fastq/.fq(.gz) are fastq; all else fasta
+    assert extension_format("a.fastq.gz") == "fastq"
+    assert extension_format("a.fq") == "fastq"
+    assert extension_format("a.fasta.gz") == "fasta"
+    assert extension_format("a.txt") == "fasta"
+
+
+def test_file_label_strips_one_extension():
+    assert file_label("/x/y/A.fastq.gz") == "A.fastq"
+    assert file_label("A.fasta") == "A"
+
+
+def test_subset_path_name(tmp_path):
+    p = subset_path(str(tmp_path), "/d/X.fastq.gz", 0.7)
+    assert os.path.basename(p) == "X.fastq_trc_over_0.7.fastq"

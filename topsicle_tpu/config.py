@@ -1,0 +1,119 @@
+"""Typed run configuration.
+
+One dataclass holds every knob of the reference CLI (the 15 argparse flags
+at /root/reference/Topsicle/main.py:319-334) plus the TPU-runtime section
+(mesh shape, batch sizes, bucketing) that the reference has no analog for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence, Union
+
+
+def _as_list(x) -> list:
+    if x is None:
+        return []
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]
+
+
+@dataclasses.dataclass
+class TopsicleConfig:
+    """Analysis parameters (reference-compatible) + TPU runtime section.
+
+    Defaults mirror /root/reference/Topsicle/main.py:319-334.
+    """
+
+    # --- required ---
+    input_dir: str = ""
+    output_dir: str = ""
+    pattern: str = ""
+
+    # --- analysis flags (reference parity) ---
+    min_seq_length: int = 9000           # --minSeqLength
+    rawcountpattern: bool = False        # --rawcountpattern
+    telophrase: Optional[Sequence[int]] = None   # --telophrase (list of k)
+    cutoff: Union[float, Sequence[float]] = 0.7  # --cutoff (scalar or list)
+    window_size: int = 100               # --windowSize
+    slide: Optional[int] = None          # --slide (default: len(pattern))
+    trimfirst: int = 100                 # --trimfirst
+    maxlengthtelo: int = 20000           # --maxlengthtelo
+    plot: bool = False                   # --plot
+    rangecp: Optional[int] = None        # --rangecp
+    read_check: Optional[str] = None     # --read_check
+    override: bool = False               # --override
+    threads: Optional[int] = None        # --threads (host-side workers)
+
+    # Step-1 end-window width; hard-coded to 1000 by the reference
+    # (main.py:57 `no_bp=1000`).
+    no_bp: int = 1000
+
+    # --- TPU runtime section (no reference analog) ---
+    batch_size: int = 256        # reads per device step (global, pre-shard)
+    length_bucket_quantum: int = 512   # scan lengths rounded up to this
+    engine: str = "jax"          # "jax" (device path) or "oracle" (pure CPU)
+    mesh_shape: Optional[Sequence[int]] = None  # None => all local devices
+    donate_buffers: bool = True
+    use_pallas: Optional[bool] = None  # None => auto (on TPU backends)
+    native_io: Optional[bool] = None   # None => auto (C++ loader if built)
+
+    # ------------------------------------------------------------------
+    # Derived values — the defaulting rules of the reference orchestrator.
+    # ------------------------------------------------------------------
+    def telophrases(self) -> List[int]:
+        """k values to sweep; default [len(pattern)-2] (main.py:189-193)."""
+        ks = _as_list(self.telophrase)
+        if not ks:
+            return [len(self.pattern) - 2]
+        return [int(k) for k in ks]
+
+    def slide_value(self) -> int:
+        """Window step; defaults to len(pattern) (main.py:212-215)."""
+        # NB: the reference uses truthiness (`if args.slide:`), so slide=0
+        # also falls back to len(pattern).  Replicated.
+        return int(self.slide) if self.slide else len(self.pattern)
+
+    def min_cutoff(self) -> float:
+        """Step-1 filter threshold: min of the cutoff list (main.py:56)."""
+        cs = _as_list(self.cutoff)
+        return float(min(cs)) if cs else 0.7
+
+    def input_trc(self) -> float:
+        """Quadratic-fit anchor: first element of cutoff (main.py:254-257)."""
+        cs = _as_list(self.cutoff)
+        return float(cs[0]) if cs else 0.7
+
+    def input_paths(self) -> List[str]:
+        """Input file discovery: os.walk order, or the single file
+        (main.py:224-229)."""
+        if os.path.isdir(self.input_dir):
+            out: List[str] = []
+            for root, _dirs, files in os.walk(self.input_dir):
+                for name in files:
+                    out.append(os.path.join(root, name))
+            return out
+        return [self.input_dir]
+
+    def validate(self) -> None:
+        if not self.pattern:
+            raise ValueError("pattern is required")
+        if "|" in self.pattern:
+            # The reference's multi-pattern branch is broken (it returns a
+            # single concatenated string whose *characters* are then used as
+            # patterns — allsteps.py:90-102 vs 168).  We refuse clearly
+            # instead of silently mis-computing (SURVEY.md §7.3).
+            raise ValueError(
+                "multi-pattern 'A|B' input is not supported: the reference "
+                "implementation of this branch is broken; pass a single "
+                "telomere repeat (e.g. CCCTAAA)"
+            )
+        for k in self.telophrases():
+            if k > len(self.pattern):
+                raise ValueError(
+                    f"Cannot get {k}-bp cut from {len(self.pattern)}-bp pattern"
+                )
+            if k < 1:
+                raise ValueError(f"telophrase must be >= 1, got {k}")
