@@ -7,10 +7,20 @@ time (SURVEY.md §4: multi-host logic is testable on CPU devices)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session environment pins a TPU backend (e.g.
+# JAX_PLATFORMS=axon): tests model multi-chip behavior on a virtual CPU
+# mesh and must never contend for the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize re-pins jax_platforms to "axon,cpu" at
+# interpreter start, overriding the env var — the config update below
+# (before any backend initialization) is the authoritative switch.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,225 @@
+"""Device ops vs the pure-Python oracle (property tests on random data).
+
+Runs on the CPU backend (conftest forces JAX_PLATFORMS=cpu); the device
+path is integer-exact, so CPU results are bit-identical to TPU results.
+"""
+
+import random
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from topsicle_tpu.io import batch
+from topsicle_tpu.kmers import telophrase_kmers
+from topsicle_tpu.models import TelomereScanModel
+from topsicle_tpu.oracle import (
+    binseg_l2_single,
+    boundary_detect,
+    count_nonoverlapping,
+    step1_trc,
+    window_signal,
+)
+
+
+def _random_seq(rng, n, alphabet="ACGT", n_prob=0.0):
+    s = []
+    for _ in range(n):
+        if n_prob and rng.random() < n_prob:
+            s.append("N")
+        else:
+            s.append(rng.choice(alphabet))
+    return "".join(s)
+
+
+def _telomere_like(rng, pattern, telo_len, total, err=0.05):
+    telo = (pattern * (telo_len // len(pattern) + 1))[:telo_len]
+    telo = "".join(c if rng.random() > err else rng.choice("ACGT") for c in telo)
+    rest = _random_seq(rng, total - len(telo))
+    return telo + rest
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return random.Random(1234)
+
+
+def test_step1_counts_match_oracle(rng):
+    kmers = telophrase_kmers("CCCTAAA", 5)
+    model = TelomereScanModel(kmers)
+    seqs = [
+        _telomere_like(rng, "CCCTAAA", 800, 3000),
+        _telomere_like(rng, "TTTAGGG", 1200, 3000)[::-1],
+        _random_seq(rng, 2500, n_prob=0.02),
+        _random_seq(rng, 500),          # shorter than no_bp
+        "CCCTAAA" * 500,                # pure repeat
+    ]
+    codes = [batch.encode_read(s) for s in seqs]
+    counts = model.step1_counts(batch.ends_batch(codes, 1000))
+    for i, s in enumerate(seqs):
+        start = s[:1000].upper()
+        end = s[-1000:][::-1].upper()
+        for j, km in enumerate(kmers):
+            assert counts[i, 0, j] == count_nonoverlapping(start, km), (i, km)
+            assert counts[i, 1, j] == count_nonoverlapping(end, km), (i, km)
+
+
+def test_step1_overlapping_selfmatch_kmers(rng):
+    # k-mers with self-overlap (period < k) exercise the non-overlap
+    # suppression: 'AAAA' in 'AAAAAA' matches once, not three times.
+    kmers = ["AAAA", "TTTT", "ATAT"]
+    model = TelomereScanModel(kmers)
+    seqs = ["A" * 1000 + "G" * 500, ("AT" * 700)[:1400], _random_seq(rng, 1200, "AT")]
+    codes = [batch.encode_read(s) for s in seqs]
+    counts = model.step1_counts(batch.ends_batch(codes, 1000))
+    for i, s in enumerate(seqs):
+        for j, km in enumerate(kmers):
+            assert counts[i, 0, j] == count_nonoverlapping(s[:1000].upper(), km)
+            assert counts[i, 1, j] == count_nonoverlapping(s[-1000:][::-1].upper(), km)
+
+
+def test_window_counts_match_oracle(rng):
+    pattern = "CCCTAAA"
+    kmers = telophrase_kmers(pattern, 5)
+    wsize, slide = 100, 6
+    model = TelomereScanModel(kmers, window_size=wsize, slide=slide)
+    seqs = [
+        _telomere_like(rng, pattern, 2000, 12000),
+        _random_seq(rng, 9000, n_prob=0.01),
+        _telomere_like(rng, pattern, 500, 6000),
+    ]
+    trimfirst, mlt = 100, 20000
+    slices = [batch.extract_tail(batch.encode_read(s), "forward", trimfirst, mlt) for s in seqs]
+    codes, lens = batch.tails_batch(slices, max(len(x) for x in slices))
+    raw = model.rawcounts(codes)      # [B, K, W]
+    for i, s in enumerate(seqs):
+        starts, means = window_signal(s, "forward", kmers, wsize, slide, trimfirst, mlt)
+        nw = batch.window_counts_for_lengths(np.array([lens[i]]), wsize, slide)[0]
+        assert nw == len(starts)
+        for w in range(nw):
+            want_counts = [
+                count_nonoverlapping(
+                    s.upper()[trimfirst:min(mlt, len(s))][starts[w]: starts[w] + wsize - 1], km
+                )
+                for km in kmers
+            ]
+            got = raw[i, :, w].tolist()
+            assert got == want_counts, (i, w)
+            # and the or-1 floored mean agrees with the oracle signal
+            floored = [c or 1 for c in want_counts]
+            assert means[w] == sum(floored) / len(floored)
+
+
+def _exact_best_t(y_counts, n, jump=5, min_size=2):
+    """Brute-force exact rational argmax of the split gain over the
+    integer signal; ties -> smallest t."""
+    S = [0]
+    for v in y_counts[:n]:
+        S.append(S[-1] + v)
+    best, best_g = None, None
+    for t in range(jump, n, jump):
+        if t < min_size or n - t < min_size:
+            continue
+        A = n * S[t] - t * S[n]
+        g = Fraction(A * A, t * (n - t))
+        if best_g is None or g > best_g:
+            best, best_g = t, g
+    return best
+
+
+def test_changepoint_exact_vs_bruteforce(rng):
+    from topsicle_tpu.ops import binseg_l2_device
+
+    B, W = 16, 400
+    ys = []
+    ns = []
+    for b in range(B):
+        n = rng.randrange(10, W)
+        base = [rng.randrange(1, 60) for _ in range(n)]
+        # plant a level shift for half the rows
+        if b % 2 == 0:
+            cut = rng.randrange(5, n - 5)
+            base = [v + 80 for v in base[:cut]] + base[cut:]
+        base += [0] * (W - n)
+        ys.append(base)
+        ns.append(n)
+    t, has = binseg_l2_device(np.array(ys, dtype=np.int64), np.array(ns, dtype=np.int32))
+    for b in range(B):
+        want = _exact_best_t(ys[b], ns[b])
+        if want is None:
+            assert not has[b]
+        else:
+            assert has[b] and int(t[b]) == want, b
+
+
+def test_changepoint_ties_first_best(rng):
+    from topsicle_tpu.ops import binseg_l2_device
+
+    # constant signal: every candidate has gain 0 -> first candidate (5)
+    y = np.full((1, 100), 7, dtype=np.int64)
+    t, has = binseg_l2_device(y, np.array([100], dtype=np.int32))
+    assert bool(has[0]) and int(t[0]) == 5
+
+
+def test_changepoint_admissibility_bounds():
+    from topsicle_tpu.ops import binseg_l2_device
+
+    y = np.ones((3, 50), dtype=np.int64)
+    t, has = binseg_l2_device(y, np.array([6, 7, 4], dtype=np.int32))
+    # n=6: candidates {5} need t <= 4 -> none
+    assert not bool(has[0])
+    # n=7: t=5 <= 5 -> admissible
+    assert bool(has[1]) and int(t[1]) == 5
+    # n=4: none
+    assert not bool(has[2])
+
+
+def test_full_read_boundary_vs_oracle(rng):
+    pattern = "CCCTAAA"
+    kmers = telophrase_kmers(pattern, 5)
+    wsize, slide, trimfirst, mlt = 100, 6, 100, 20000
+    model = TelomereScanModel(kmers, window_size=wsize, slide=slide)
+    reads = []
+    for i in range(12):
+        telo_len = rng.randrange(300, 4000)
+        total = rng.randrange(9500, 25000)
+        s = _telomere_like(rng, pattern, telo_len, total)
+        tail = "forward"
+        if i % 3 == 1:
+            s = s[::-1]
+            tail = "reverse"
+        reads.append((s, tail))
+
+    slices = [
+        batch.extract_tail(batch.encode_read(s), tail, trimfirst, mlt)
+        for s, tail in reads
+    ]
+    codes, lens = batch.tails_batch(slices, max(len(x) for x in slices))
+    n_windows = batch.window_counts_for_lengths(lens, wsize, slide)
+    t, has = model.step2_boundary(codes, n_windows)
+    for i, (s, tail) in enumerate(reads):
+        want = boundary_detect(s, tail, kmers, wsize, slide, trimfirst, mlt)
+        maxc = min(mlt, len(s))
+        got = int(trimfirst + slide * t[i]) if has[i] else 0
+        if got == 0 or got > maxc:
+            got = 0
+        assert got == want, i
+
+
+def test_oracle_binseg_agrees_with_device_on_float_safe_data(rng):
+    """Oracle (f64) and device (exact int) agree away from ties."""
+    from topsicle_tpu.ops import binseg_l2_device
+
+    K = 14
+    for trial in range(20):
+        n = rng.randrange(12, 300)
+        y_counts = [rng.randrange(K, K * 20) for _ in range(n)]
+        means = [c / K for c in y_counts]
+        want = binseg_l2_single(means)
+        t, has = binseg_l2_device(
+            np.array([y_counts], dtype=np.int64), np.array([n], dtype=np.int32)
+        )
+        if want is None:
+            assert not bool(has[0])
+        else:
+            assert bool(has[0]) and int(t[0]) == want, trial

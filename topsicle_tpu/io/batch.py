@@ -1,0 +1,72 @@
+"""Host-side batch assembly: reads -> padded uint8 code arrays.
+
+The host does only cheap, vectorized byte work (encode LUT, slicing,
+reversal); all counting happens on device.  Padding uses PAD_BYTE
+(0xFF -> code class "invalid"), which poisons any k-mer window touching
+it, so ragged lengths need no extra masks on device.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from topsicle_tpu.kmers import encode_ascii, PAD_BYTE
+
+
+def encode_read(seq: str) -> np.ndarray:
+    return encode_ascii(seq.encode("ascii", errors="replace"))
+
+
+def extract_ends(codes: np.ndarray, no_bp: int) -> np.ndarray:
+    """[2, no_bp] uint8: forward start seq[:no_bp] and the REVERSED end
+    seq[-no_bp:][::-1] (reversed, not complemented — allsteps.py:176-177;
+    the complement k-mers in the table cover the other strand)."""
+    out = np.full((2, no_bp), PAD_BYTE, dtype=np.uint8)
+    n = min(len(codes), no_bp)
+    out[0, :n] = codes[:n]
+    out[1, :n] = codes[len(codes) - n :][::-1]
+    return out
+
+
+def ends_batch(code_list: Sequence[np.ndarray], no_bp: int) -> np.ndarray:
+    """[B, 2, no_bp] uint8 step-1 batch."""
+    out = np.full((len(code_list), 2, no_bp), PAD_BYTE, dtype=np.uint8)
+    for i, codes in enumerate(code_list):
+        out[i] = extract_ends(codes, no_bp)
+    return out
+
+
+def extract_tail(codes: np.ndarray, tail: str, trimfirst: int,
+                 maxlengthtelo: int) -> np.ndarray:
+    """The step-2 scan slice: seq[trimfirst:maxc] (forward) or
+    seq[::-1][trimfirst:maxc] (reverse) with maxc = min(maxlengthtelo,
+    len) — allsteps.py:263-272."""
+    maxc = min(maxlengthtelo, len(codes))
+    s = codes if tail == "forward" else codes[::-1]
+    return s[trimfirst:maxc]
+
+
+def tails_batch(slices: Sequence[np.ndarray], pad_len: int,
+                quantum: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad tail slices to a common bucketed length.
+
+    Returns (codes [B, L] uint8, lengths [B] int32) with L = pad_len
+    rounded up to `quantum` (bounds jit recompilations across batches).
+    """
+    L = max(quantum, ((max(pad_len, 1) + quantum - 1) // quantum) * quantum)
+    out = np.full((len(slices), L), PAD_BYTE, dtype=np.uint8)
+    lens = np.zeros(len(slices), dtype=np.int32)
+    for i, s in enumerate(slices):
+        ln = min(len(s), L)
+        out[i, :ln] = s[:ln]
+        lens[i] = ln
+    return out, lens
+
+
+def window_counts_for_lengths(lengths: np.ndarray, window_size: int,
+                              slide: int) -> np.ndarray:
+    """Per-read valid-window count n (range(0, len-w+1, slide) length)."""
+    n = (lengths - window_size) // slide + 1
+    return np.maximum(n, 0).astype(np.int32)
