@@ -1,0 +1,134 @@
+"""`topsicle` console entry point — flag-compatible with the reference
+CLI (main.py:314-345; 15 flags, same names/defaults) plus a TPU-runtime
+group (--engine, --batchSize, ...).
+
+The run-log line sequence mirrors the reference's (parameter echo,
+separators, per-stage lines, completion sentinel, elapsed time) so
+existing log-scraping workflows keep working (README.md:272 greps the
+sentinel line).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from topsicle_tpu.config import TopsicleConfig
+from topsicle_tpu.io.writer import RunLog
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="topsicle",
+        description="Topsicle-TPU - Telomere length estimation from long reads",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--inputDir", "-i", type=str, metavar="FILE/FOLDER", required=True,
+                   help="Required, Path to the input file or directory")
+    p.add_argument("--outputDir", "-o", type=str, metavar="FOLDER", required=True,
+                   help="Required, Path to the output directory")
+    p.add_argument("--pattern", metavar="CHAR", type=str, required=True,
+                   help="Required, Telomere repeat sequence (in 5' to 3' orientation). For e.g., in human use CCCTAA")
+    p.add_argument("--minSeqLength", metavar="INT", type=int, default=9000,
+                   help="Minimum length of a long read sequence that will be analyzed")
+    p.add_argument("--rawcountpattern", action="store_true",
+                   help="Output raw count of the k-mer for each window")
+    p.add_argument("--telophrase", nargs="+", metavar="INT", type=int,
+                   help="Length of telomere k-mer to search. By default will use telomere k-mer length minus 2")
+    p.add_argument("--cutoff", nargs="+", metavar="FLOAT", type=float, default=0.7,
+                   help="TRC statistics threshold")
+    p.add_argument("--windowSize", metavar="INT", type=int, default=100,
+                   help="Sliding window size")
+    p.add_argument("--slide", metavar="INT", type=int,
+                   help="Window sliding step. Default is telomere k-mer length")
+    p.add_argument("--trimfirst", metavar="INT", type=int, default=100,
+                   help="Length of intial number of base pairs to trim")
+    p.add_argument("--maxlengthtelo", metavar="INT", type=int, default=20000,
+                   help="Longest possible length of telomere for any given read")
+    p.add_argument("--plot", action="store_true",
+                   help="Optional, generate plot showing for each telomere read the abundance across the sequencing reead and the changepoint")
+    p.add_argument("--rangecp", metavar="INT", type=int,
+                   help="Optional, set range of changepoint plot for visualization, default is maxlengthtelo")
+    p.add_argument("--read_check", metavar="STR", type=str,
+                   help="Optional, get telomere of a specific read")
+    p.add_argument("--override", "-ov", action="store_true",
+                   help="Override telolengths_all.csv file but keep subset fastq")
+    p.add_argument("--threads", "-t", metavar="INT", type=int, default=None,
+                   help="Number of CPU cores to use for host-side IO (by default, all available cores)")
+    # --- TPU runtime (no reference analog) ---
+    p.add_argument("--engine", choices=["jax", "oracle"], default="jax",
+                   help="Compute engine: 'jax' (TPU/accelerator) or 'oracle' (pure-CPU reference semantics)")
+    p.add_argument("--batchSize", metavar="INT", type=int, default=256,
+                   help="Reads per device batch")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> TopsicleConfig:
+    return TopsicleConfig(
+        input_dir=args.inputDir,
+        output_dir=args.outputDir,
+        pattern=args.pattern,
+        min_seq_length=args.minSeqLength,
+        rawcountpattern=args.rawcountpattern,
+        telophrase=args.telophrase,
+        cutoff=args.cutoff,
+        window_size=args.windowSize,
+        slide=args.slide,
+        trimfirst=args.trimfirst,
+        maxlengthtelo=args.maxlengthtelo,
+        plot=args.plot,
+        rangecp=args.rangecp,
+        read_check=args.read_check,
+        override=args.override,
+        threads=args.threads,
+        engine=args.engine,
+        batch_size=args.batchSize,
+    )
+
+
+def main(argv=None) -> int:
+    start_time = time.time()
+    args = build_parser().parse_args(argv)
+    log = RunLog(args.outputDir)
+
+    log.plain("---- Topsicle run parameters ---")
+    for k, v in vars(args).items():
+        log(f"{k}: {v}")
+    log.plain("---------------------")
+    log("Starting Topsicle analysis")
+
+    cfg = config_from_args(args)
+    try:
+        cfg.validate()
+    except ValueError as e:
+        log(str(e))
+        return 2
+
+    if args.telophrase is None:
+        log(f"No telophrase provided, use kmer: {cfg.telophrases()}")
+
+    if cfg.engine == "jax":
+        import jax
+
+        log(f"devices: {[str(d) for d in jax.devices()]}")
+    log.plain("---------------------")
+
+    from topsicle_tpu.pipeline import make_engine
+
+    try:
+        make_engine(cfg, log=log).run()
+    except FileExistsError as e:
+        log(str(e))
+        return 1
+    except ValueError as e:
+        log(str(e))
+        return 2
+
+    elapsed = time.time() - start_time
+    print(f"Elapsed time(s): {elapsed:.2f} seconds")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""shard_map data parallelism for the scan programs.
+
+Each chip runs the identical integer pipeline on its batch shard; the
+k-mer table is replicated; per-read records (counts / changepoints) are
+all-gathered so every host sees the full batch result.  Because the
+device path is integer-exact, the gathered results are bit-identical to
+a single-chip run — tested on the virtual 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax layout
+    from jax.experimental.shard_map import shard_map
+
+from topsicle_tpu.models.telomere import _step1_counts, _step2_boundary
+from topsicle_tpu.parallel.mesh import DATA_AXIS, data_mesh
+
+
+class ShardedScanModel:
+    """Wraps a TelomereScanModel's device programs in shard_map over a
+    1-D mesh; host-facing API is identical (numpy in / numpy out) but
+    batches must be divisible by the mesh size (callers pad)."""
+
+    def __init__(self, base, mesh=None):
+        self.base = base
+        self.mesh = mesh if mesh is not None else data_mesh()
+        self.n = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        k = base.k
+
+        step1 = functools.partial(_step1_counts, k=k)
+        step2 = functools.partial(
+            _step2_boundary, k=k, window_size=base.window_size,
+            slide=base.slide, jump=base.jump, min_size=base.min_size,
+        )
+
+        spec_b = P(DATA_AXIS)      # shard batch axis
+        spec_r = P()               # replicated
+
+        self._step1 = jax.jit(
+            shard_map(
+                step1, mesh=self.mesh,
+                in_specs=(spec_b, spec_r), out_specs=spec_b,
+            )
+        )
+
+        def step2_wrap(codes, n_windows, table):
+            t, has = step2(codes, n_windows, table)
+            return t, has
+
+        self._step2 = jax.jit(
+            shard_map(
+                step2_wrap, mesh=self.mesh,
+                in_specs=(spec_b, spec_b, spec_r),
+                out_specs=(spec_b, spec_b),
+            )
+        )
+
+    # -- host-facing API ---------------------------------------------------
+    def step1_counts(self, ends_codes: np.ndarray) -> np.ndarray:
+        assert ends_codes.shape[0] % self.n == 0, "batch not divisible by mesh"
+        return np.asarray(self._step1(jnp.asarray(ends_codes), self.base.table))
+
+    def step2_boundary(self, tail_codes: np.ndarray, n_windows: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        assert tail_codes.shape[0] % self.n == 0, "batch not divisible by mesh"
+        t, has = self._step2(
+            jnp.asarray(tail_codes), jnp.asarray(n_windows), self.base.table
+        )
+        return np.asarray(t), np.asarray(has)
+
+    def rawcounts(self, tail_codes: np.ndarray) -> np.ndarray:
+        return self.base.rawcounts(tail_codes)
+
+    # passthroughs
+    @property
+    def kmers(self):
+        return self.base.kmers
+
+    def num_windows(self, length: int) -> int:
+        return self.base.num_windows(length)

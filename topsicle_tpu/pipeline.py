@@ -1,0 +1,311 @@
+"""The TPU engine: streaming host pipeline + batched device programs.
+
+Orchestration parity with the reference (main.py:52-154,156-309) but
+batched and device-resident:
+
+  stream records ──► eligible reads buffered as code arrays
+     └─ step-1 batches [B, 2, no_bp] ──► device greedy counts
+         └─ host f64 TRC selection (argmax / tie / strict cutoff —
+            reference float semantics, allsteps.py:178-198)
+  subset FASTQ/FASTA written once per file (resume artifact,
+  main.py:64-87) — but step 2 uses the in-memory tail slices, never
+  re-parsing the subset file (the reference's O(K^2) re-parse,
+  allsteps.py:252-258, is deliberately not replicated)
+  step-2 batches [B, L] ──► device window counts + exact changepoint
+  CSV rows appended in input-read order after each device batch
+  aggregation/quadfit on host f64 (aggregate.py)
+
+CSV rows, subset files, and aggregate log lines are bit-compatible with
+the reference (tested against the demo goldens).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from topsicle_tpu import aggregate
+from topsicle_tpu.config import TopsicleConfig
+from topsicle_tpu.io import batch as batching
+from topsicle_tpu.io import reader, writer
+from topsicle_tpu.kmers import patterns_to_search
+from topsicle_tpu.oracle.reference import ReadResult
+
+
+@dataclasses.dataclass
+class _Passer:
+    order: int
+    read_id: str
+    kmer: str
+    tail: str
+    trc: float
+    tail_codes: np.ndarray       # step-2 scan slice (already oriented)
+    seq_len: int
+
+
+class JaxEngine:
+    """Single-host engine; multi-chip sharding is layered on by
+    parallel.sharding.ShardedModel when more than one device is
+    visible."""
+
+    def __init__(self, cfg: TopsicleConfig, log: Optional[writer.RunLog] = None):
+        cfg.validate()
+        self.cfg = cfg
+        self.log = log or writer.RunLog(cfg.output_dir if cfg.output_dir else None, echo=False)
+        self._models: Dict[int, object] = {}
+
+    # -- model cache -------------------------------------------------------
+    def _model(self, phrase: int, kmers: Sequence[str]):
+        if phrase not in self._models:
+            import jax
+
+            from topsicle_tpu.models import TelomereScanModel
+
+            model = TelomereScanModel(
+                kmers,
+                window_size=self.cfg.window_size,
+                slide=self.cfg.slide_value(),
+            )
+            n_dev = len(jax.devices())
+            if n_dev > 1:
+                from topsicle_tpu.parallel import ShardedScanModel, data_mesh
+
+                # round the batch up to a mesh multiple so shards stay equal
+                if self.cfg.batch_size % n_dev:
+                    self.cfg.batch_size += n_dev - self.cfg.batch_size % n_dev
+                model = ShardedScanModel(model, mesh=data_mesh(n_dev))
+            self._models[phrase] = model
+        return self._models[phrase]
+
+    # -- step 1 ------------------------------------------------------------
+    def _select_hits(self, counts: np.ndarray, kmers: Sequence[str], cutoff: float
+                     ) -> List[Optional[Tuple[str, str, float]]]:
+        """Host-side f64 TRC selection from device counts [B, 2, K]:
+        per-end argmax (first of equals in table order), forward only on
+        strict '>', keep on strict TRC > cutoff."""
+        ratio = self.cfg.no_bp / len(self.cfg.pattern)
+        out: List[Optional[Tuple[str, str, float]]] = []
+        for row in counts:
+            js = int(np.argmax(row[0]))
+            je = int(np.argmax(row[1]))
+            trc_s = float(row[0, js]) / ratio
+            trc_e = float(row[1, je]) / ratio
+            if trc_s > trc_e:
+                out.append((kmers[js], "forward", trc_s) if trc_s > cutoff else None)
+            else:
+                out.append((kmers[je], "reverse", trc_e) if trc_e > cutoff else None)
+        return out
+
+    def _step1_file(self, path: str, kmers: Sequence[str], model) -> List[_Passer]:
+        cfg = self.cfg
+        cutoff = cfg.min_cutoff()
+        B = cfg.batch_size
+        passers: List[_Passer] = []
+        buf: List[Tuple[int, str, np.ndarray]] = []
+
+        def flush():
+            if not buf:
+                return
+            n = len(buf)
+            ends = batching.ends_batch([c for _, _, c in buf], cfg.no_bp)
+            if n < B:  # pad to the static batch shape
+                pad = np.full((B - n, 2, cfg.no_bp), 0xFF, np.uint8)
+                ends = np.concatenate([ends, pad], axis=0)
+            counts = model.step1_counts(ends)[:n]
+            for (order, rid, codes), hit in zip(buf, self._select_hits(counts, kmers, cutoff)):
+                if hit is not None:
+                    km, tail, trc = hit
+                    passers.append(
+                        _Passer(
+                            order, rid, km, tail, trc,
+                            batching.extract_tail(codes, tail, cfg.trimfirst, cfg.maxlengthtelo),
+                            len(codes),
+                        )
+                    )
+            buf.clear()
+
+        for order, rec in enumerate(reader.parse_records(path)):
+            if len(rec.seq) > cfg.min_seq_length:
+                buf.append((order, rec.id, batching.encode_read(rec.seq)))
+                if len(buf) >= B:
+                    flush()
+        flush()
+        return passers
+
+    # -- subset emission ---------------------------------------------------
+    def _write_subset(self, path: str, hit_ids: set) -> None:
+        cfg = self.cfg
+        out_path = writer.subset_path(cfg.output_dir, path, cfg.min_cutoff())
+        if os.path.exists(out_path):
+            self.log(f"Temporary fasta file already exists: {out_path}. Using existing file.")
+            return
+        fmt = reader.extension_format(path)
+        with open(out_path, "w") as fh:
+            for rec in reader.parse_records(path):
+                if rec.id in hit_ids:
+                    writer.write_record(fh, rec, fmt)
+        self.log(f"Temporary fasta file with TRC more than {cfg.min_cutoff()}:", out_path)
+
+    # -- step 2 ------------------------------------------------------------
+    def _step2_batches(self, passers: List[_Passer], model):
+        """Yield (sub-list of passers, boundaries) in order."""
+        cfg = self.cfg
+        B = cfg.batch_size
+        for i in range(0, len(passers), B):
+            group = passers[i : i + B]
+            max_len = max(len(p.tail_codes) for p in group)
+            codes, lens = batching.tails_batch(
+                [p.tail_codes for p in group], max_len, cfg.length_bucket_quantum
+            )
+            if len(group) < B:
+                pad = np.full((B - len(group), codes.shape[1]), 0xFF, np.uint8)
+                codes = np.concatenate([codes, pad], axis=0)
+                lens = np.concatenate([lens, np.zeros(B - len(group), np.int32)])
+            n_windows = batching.window_counts_for_lengths(lens, cfg.window_size, cfg.slide_value())
+            t, has = model.step2_boundary(codes, n_windows)
+            bounds = []
+            for j, p in enumerate(group):
+                maxc = min(cfg.maxlengthtelo, p.seq_len)
+                b = int(cfg.trimfirst + cfg.slide_value() * int(t[j])) if has[j] else 0
+                if b == 0 or b > maxc:
+                    b = 0
+                bounds.append(b)
+            yield group, bounds
+
+    # -- optional per-read outputs (--plot / --rawcountpattern) ------------
+    def _per_read_extras(self, group: List[_Passer], model, phrase: int,
+                         bounds: List[int], image_start: int) -> None:
+        cfg = self.cfg
+        if not (cfg.plot or cfg.rawcountpattern):
+            return
+        B = cfg.batch_size
+        max_len = max(len(p.tail_codes) for p in group)
+        codes, lens = batching.tails_batch(
+            [p.tail_codes for p in group], max_len, cfg.length_bucket_quantum
+        )
+        if len(group) < B:
+            pad = np.full((B - len(group), codes.shape[1]), 0xFF, np.uint8)
+            codes = np.concatenate([codes, pad], axis=0)
+            lens = np.concatenate([lens, np.zeros(B - len(group), np.int32)])
+        raw = model.rawcounts(codes)          # [B, K, W]
+        n_windows = batching.window_counts_for_lengths(lens, cfg.window_size, cfg.slide_value())
+        for j, p in enumerate(group):
+            num = image_start + j
+            nw = int(n_windows[j])
+            counts = np.maximum(raw[j, :, :nw], 1)     # or-1 floor
+            if cfg.rawcountpattern:
+                self._write_rawcount(p, model, counts, phrase, num)
+            if cfg.plot:
+                from topsicle_tpu.plots import changepoint_plot
+
+                starts = np.arange(nw) * cfg.slide_value() + cfg.trimfirst
+                means = counts.sum(axis=0) / counts.shape[0]
+                out = os.path.join(cfg.output_dir, f"plot_{phrase}_{num}.png")
+                changepoint_plot(
+                    starts, means, bounds[j], p.read_id, out,
+                    xlim=cfg.rangecp or min(cfg.maxlengthtelo, p.seq_len),
+                )
+
+    def _write_rawcount(self, p: _Passer, model, counts: np.ndarray,
+                        phrase: int, num: int) -> None:
+        """rawcount_{phrase}_{num}.csv — pandas-style CSV with unlabeled
+        index column; rows (tail, window start, kmer, count-or-1),
+        window-major (allsteps.py:359-464, main.py:146-150)."""
+        import csv as _csv
+
+        path = os.path.join(self.cfg.output_dir, f"rawcount_{phrase}_{num}.csv")
+        with open(path, "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(["", "tail", "position", "pattern", "count"])
+            idx = 0
+            nw = counts.shape[1]
+            for wi in range(nw):
+                for ki, km in enumerate(model.kmers):
+                    w.writerow([idx, p.tail, wi * self.cfg.slide_value(), km, int(counts[ki, wi])])
+                    idx += 1
+
+    # -- full run ----------------------------------------------------------
+    def run(self) -> List[ReadResult]:
+        cfg = self.cfg
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        csv_path = os.path.join(cfg.output_dir, "telolengths_all.csv")
+        self.log(f"Output will be here: {csv_path}")
+        if os.path.exists(csv_path) and os.path.getsize(csv_path) > 0:
+            if cfg.override:
+                self.log(f"Output file {csv_path} already exists and will be overridden becuz having --override flag.")
+                os.remove(csv_path)
+            else:
+                raise FileExistsError(
+                    f"Output file {csv_path} already exists and is not empty. "
+                    "Use --override to force overwrite."
+                )
+        writer.write_csv_header(csv_path)
+
+        results: List[ReadResult] = []
+        phrase_to_telo: Dict[int, List[float]] = {}
+        phrase_to_trc: Dict[int, List[float]] = {}
+
+        for phrase in cfg.telophrases():
+            kmers = patterns_to_search(cfg.pattern, phrase)
+            self.log("patterns to search:", kmers)
+            model = self._model(phrase, kmers)
+            self.log("begin processing reads")
+            for path in cfg.input_paths():
+                self.log("subsetting raw dataset based on TRC cutoff")
+                passers = self._step1_file(path, kmers, model)
+                self._write_subset(path, {p.read_id for p in passers})
+
+                if cfg.read_check is not None:
+                    self.log("checking specific read:", cfg.read_check)
+                    sel = [p for p in passers if p.read_id == cfg.read_check]
+                    if not sel:
+                        raise ValueError(
+                            f"read {cfg.read_check!r} did not pass the step-1 TRC filter "
+                            "(the reference crashes on this combination; refusing clearly)"
+                        )
+                    self.log("step 2 on:", cfg.read_check)
+                    passers = sel
+
+                lbl = writer.file_label(path)
+                image_num = 1
+                for group, bounds in self._step2_batches(passers, model):
+                    for p, b in zip(group, bounds):
+                        writer.append_csv_row(csv_path, lbl, phrase, p.trc, p.read_id, b)
+                        results.append(ReadResult(lbl, phrase, p.read_id, p.trc, b, p.kmer, p.tail))
+                        phrase_to_telo.setdefault(phrase, []).append(float(b))
+                        phrase_to_trc.setdefault(phrase, []).append(float(p.trc))
+                    self._per_read_extras(group, model, phrase, bounds, image_num)
+                    image_num += len(group)
+            self.log("finished processing all reads")
+
+        # The reference always saves the quadfit plot when >=3 points
+        # (main.py:270-273) — not gated on --plot.
+        def plot_factory(phrase):
+            def fn(trc, telo, vx, vy, coeffs):
+                try:
+                    from topsicle_tpu.plots import quadfit_plot
+
+                    out = os.path.join(cfg.output_dir, f"quadfit_{phrase}mer_{cfg.pattern}.png")
+                    quadfit_plot(trc, telo, vx, vy, coeffs, out)
+                except Exception as e:  # plotting must never kill a run
+                    self.log(f"quadfit plot failed: {e}")
+            return fn
+
+        aggregate.summarize_all(
+            phrase_to_trc, phrase_to_telo, cfg.input_trc(),
+            log=self.log, plot_fn_for_phrase=plot_factory,
+        )
+        self.log("All telomere found, have a nice day.")
+        return results
+
+
+def make_engine(cfg: TopsicleConfig, log: Optional[writer.RunLog] = None):
+    """Engine factory honoring cfg.engine ('jax' | 'oracle')."""
+    if cfg.engine == "oracle":
+        from topsicle_tpu.oracle import OracleEngine
+
+        return OracleEngine(cfg, log=log)
+    return JaxEngine(cfg, log=log)
