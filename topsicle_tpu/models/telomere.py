@@ -24,36 +24,44 @@ import jax.numpy as jnp
 import numpy as np
 
 from topsicle_tpu import ops
+from topsicle_tpu.io import batch as batching
 from topsicle_tpu.kmers import pack_kmer_table
 
 
-def _step1_counts(ends_codes, table, *, k: int):
-    """[B, 2, no_bp] uint8 -> [B, 2, K] int32 non-overlap counts."""
-    B, two, L = ends_codes.shape
-    flat = ends_codes.reshape(B * two, L)
+def _step1_counts(ends_packed, ends_invalid, table, *, k: int):
+    """Packed [B, 2, no_bp/4] + mask [B, 2, no_bp/8] -> [B, 2, K] int32
+    greedy counts.  Inputs use the 2-bit wire format (io.batch.pack_batch)
+    to keep host->device traffic at 2.25 bits/base."""
+    B, two, Lq = ends_packed.shape
+    flat = ops.unpack_codes(
+        ends_packed.reshape(B * two, Lq),
+        ends_invalid.reshape(B * two, -1),
+        Lq * 4,
+    )
     match = ops.match_positions(flat, table, k)
-    nxt = ops.next_match_table(match)
-    counts = ops.greedy_count_full(nxt, k)          # [B*2, K]
+    counts = ops.greedy_count_full(match, k)        # [B*2, K]
     return counts.reshape(B, two, -1)
 
 
-def _step2_signal(tail_codes, table, *, k: int, window_size: int, slide: int):
-    """[B, L] uint8 tail codes -> per-window counts [B, K, W] int32.
+def _step2_signal(tail_packed, tail_invalid, table, *, k: int, window_size: int,
+                  slide: int):
+    """Packed tails -> per-window counts [B, K, W] int32.
 
-    W is the static window count for length L; ragged reads are handled
-    by the caller's per-read n_windows (padding codes are 0xFF, which
-    never match, but the or-1 floor means padded windows still carry
-    signal K — they are excluded by the candidate mask downstream)."""
-    L = tail_codes.shape[-1]
+    W is the static window count for the padded length; ragged reads are
+    handled by the caller's per-read n_windows (padding decodes to the
+    invalid base class, which never matches; padded windows are excluded
+    by the candidate mask downstream)."""
+    L = tail_packed.shape[-1] * 4
     num_windows = max(0, (L - window_size) // slide + 1)
-    match = ops.match_positions(tail_codes, table, k)
-    nxt = ops.next_match_table(match)
-    return ops.window_nonoverlap_counts(nxt, k, window_size, slide, num_windows)
+    codes = ops.unpack_codes(tail_packed, tail_invalid, L)
+    match = ops.match_positions(codes, table, k)
+    return ops.window_nonoverlap_counts(match, k, window_size, slide, num_windows)
 
 
-def _step2_boundary(tail_codes, n_windows, table, *, k: int, window_size: int,
-                    slide: int, jump: int, min_size: int):
-    counts = _step2_signal(tail_codes, table, k=k, window_size=window_size, slide=slide)
+def _step2_boundary(tail_packed, tail_invalid, n_windows, table, *, k: int,
+                    window_size: int, slide: int, jump: int, min_size: int):
+    counts = _step2_signal(tail_packed, tail_invalid, table, k=k,
+                           window_size=window_size, slide=slide)
     y_int = jnp.maximum(counts, 1).sum(axis=1)      # [B, W] sum over K
     t, has = ops.binseg_l2_device(y_int, n_windows, jump=jump, min_size=min_size)
     return t, has
@@ -94,22 +102,34 @@ class TelomereScanModel:
             )
         )
 
-    # ---- host-facing API (numpy in / numpy out) --------------------------
+    # ---- host-facing API (numpy in / numpy out; packs on host) -----------
     def step1_counts(self, ends_codes: np.ndarray) -> np.ndarray:
         """[B, 2, no_bp] uint8 -> [B, 2, K] int32."""
-        return np.asarray(self._step1(jnp.asarray(ends_codes), self.table))
+        B = ends_codes.shape[0]
+        p, m = batching.pack_batch(ends_codes.reshape(B * 2, -1))
+        return np.asarray(
+            self._step1(
+                jnp.asarray(p.reshape(B, 2, -1)),
+                jnp.asarray(m.reshape(B, 2, -1)),
+                self.table,
+            )
+        )
 
     def step2_boundary(self, tail_codes: np.ndarray, n_windows: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """[B, L] uint8, [B] int32 -> (t [B] int64, has [B] bool)."""
-        t, has = self._step2(jnp.asarray(tail_codes), jnp.asarray(n_windows), self.table)
+        p, m = batching.pack_batch(tail_codes)
+        t, has = self._step2(
+            jnp.asarray(p), jnp.asarray(m), jnp.asarray(n_windows), self.table
+        )
         return np.asarray(t), np.asarray(has)
 
     def rawcounts(self, tail_codes: np.ndarray) -> np.ndarray:
         """[B, L] uint8 -> [B, K, W] int32 per-window counts (no or-1
         floor — the floor is applied by consumers, matching
         rawCountPattern's `or 1` at allsteps.py:402,408)."""
-        return np.asarray(self._rawcounts(jnp.asarray(tail_codes), self.table))
+        p, m = batching.pack_batch(tail_codes)
+        return np.asarray(self._rawcounts(jnp.asarray(p), jnp.asarray(m), self.table))
 
     def num_windows(self, length: int) -> int:
         if length < self.window_size:

@@ -16,6 +16,7 @@ from topsicle_tpu.ops.match import (  # noqa: F401,E402
     match_positions,
     next_match_table,
     rolling_codes,
+    unpack_codes,
     window_nonoverlap_counts,
 )
 from topsicle_tpu.ops.changepoint import binseg_l2_device  # noqa: F401,E402

@@ -31,6 +31,19 @@ _BIG = jnp.int32(1 << 30)
 MAX_ROLLING_K = 15  # 4**15 < 2**31; longer k-mers would overflow int32
 
 
+def unpack_codes(packed: jax.Array, invalid_bits: jax.Array, L: int) -> jax.Array:
+    """Device-side unpack of the 2-bit wire format (io.batch.pack_batch):
+    [..., L/4] packed bases + [..., L/8] invalid bitmask -> [..., L]
+    uint8 codes with invalid positions forced to code 4."""
+    shifts2 = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)
+    b = (packed[..., :, None] >> shifts2) & jnp.uint8(3)
+    codes = b.reshape(*packed.shape[:-1], -1)[..., :L]
+    shifts1 = jnp.arange(8, dtype=jnp.uint8)
+    m = (invalid_bits[..., :, None] >> shifts1) & jnp.uint8(1)
+    invalid = m.reshape(*invalid_bits.shape[:-1], -1)[..., :L]
+    return jnp.where(invalid > 0, jnp.uint8(4), codes)
+
+
 def rolling_codes(codes: jax.Array, k: int):
     """[..., L] uint8 base codes -> ([..., L-k+1] int32 rolling codes,
     [..., L-k+1] bool validity).
@@ -68,8 +81,7 @@ def match_positions(codes: jax.Array, table: jax.Array, k: int) -> jax.Array:
 def next_match_table(match: jax.Array) -> jax.Array:
     """[B, K, Lp] match bits -> [B, K, Lp+1] next-match-at-or-after table
     (values are positions, or >= _BIG when none).  Column Lp is the
-    always-empty sentinel slot hop iteration parks dead pointers on."""
-    Lp = match.shape[-1]
+    always-empty sentinel slot."""
     idx = jax.lax.broadcasted_iota(jnp.int32, match.shape, len(match.shape) - 1)
     cand = jnp.where(match, idx, _BIG)
     nxt = jax.lax.cummin(cand, axis=len(match.shape) - 1, reverse=True)
@@ -77,44 +89,75 @@ def next_match_table(match: jax.Array) -> jax.Array:
     return jnp.concatenate([nxt, pad], axis=-1)
 
 
-def greedy_count_full(nxt: jax.Array, k: int) -> jax.Array:
-    """Greedy non-overlapping match count over the whole axis, per
-    [B, K] row — `len(list(re.finditer(kmer, s)))` semantics.
+def greedy_count_full(match: jax.Array, k: int) -> jax.Array:
+    """Greedy non-overlapping match count over the whole position axis,
+    per [B, K] row — `len(list(re.finditer(kmer, s)))` semantics.
 
-    Pointer doubling: T[p] = position after consuming the first match at
-    or beyond p; C[p] = matches consumed.  log2(ceil(Lp/k))+1 rounds of
-    composition give the count from position 0."""
-    Lp = nxt.shape[-1] - 1
-    has = nxt < Lp  # a usable match exists at/after p (sentinel col: False)
-    T = jnp.where(has, jnp.minimum(nxt + k, Lp), Lp).astype(jnp.int32)
-    C = has.astype(jnp.int32)
-    rounds = max(1, math.ceil(math.log2(max(2, Lp // max(k, 1) + 1))))
-    for _ in range(rounds):
-        C = C + jnp.take_along_axis(C, T, axis=-1)
-        T = jnp.take_along_axis(T, T, axis=-1)
-    return C[..., 0]
+    A single lax.scan over positions with a (next_free, count) carry:
+    TPU gathers are slow, so the chain is walked by advancing the
+    position uniformly (pure elementwise ops) instead of jumping
+    pointers through memory."""
+    Lp = match.shape[-1]
+    xs = jnp.moveaxis(match, -1, 0)                     # [Lp, B, K]
+    # derive the carry from `match` so it inherits sharding/varyingness
+    # under shard_map (a plain zeros constant trips the vma checker)
+    nf0 = match[..., 0].astype(jnp.int32) * 0
+    cnt0 = nf0
+
+    def body(carry, x):
+        j, m = x
+        nf, cnt = carry
+        take = m & (j >= nf)
+        return (jnp.where(take, j + k, nf), cnt + take.astype(jnp.int32)), None
+
+    (nf, cnt), _ = jax.lax.scan(
+        body, (nf0, cnt0), (jnp.arange(Lp, dtype=jnp.int32), xs)
+    )
+    return cnt
 
 
 def window_nonoverlap_counts(
-    nxt: jax.Array, k: int, window_size: int, slide: int, num_windows: int
+    match: jax.Array, k: int, window_size: int, slide: int, num_windows: int
 ) -> jax.Array:
     """Per-window greedy counts, [B, K, W] int32.
 
     Window w covers window_size-1 characters starting at w*slide (the
     reference's verified off-by-one, allsteps.py:221-224), so admissible
-    match starts are w*slide .. w*slide + window_size-1-k.  The greedy
-    chain restarts at every window start; at most (window_size-1)//k
-    matches fit, which bounds the hop iteration statically."""
-    B, K, Lp1 = nxt.shape
-    Lp = Lp1 - 1
-    starts = jnp.arange(num_windows, dtype=jnp.int32) * slide         # [W]
-    limits = starts + (window_size - 1) - k                            # [W]
-    hops = max(0, (window_size - 1) // max(k, 1))
-    p = jnp.minimum(jnp.broadcast_to(starts, (B, K, num_windows)), Lp)
-    cnt = jnp.zeros((B, K, num_windows), jnp.int32)
-    for _ in range(hops):
-        m = jnp.take_along_axis(nxt, p, axis=-1)
-        ok = m <= limits
-        cnt = cnt + ok.astype(jnp.int32)
-        p = jnp.where(ok, jnp.minimum(m + k, Lp), Lp)
-    return cnt
+    match starts are w*slide + j for j in [0, window_size-1-k].  The
+    greedy chain restarts at each window start.
+
+    Gather-free formulation: one lax.scan over the J = window_size - k
+    in-window offsets with a (next_free, count) carry of shape
+    [B, W, K].  The per-offset match plane match[:, w*slide + j, :] is a
+    contiguous dynamic slice of a [B, nb, slide, K] re-blocking of the
+    match bits (position = block*slide + phase), so each step is slices
+    + elementwise ops only."""
+    J = window_size - k
+    B, K, Lp = match.shape
+    if J <= 0 or num_windows <= 0:
+        return jnp.zeros((B, K, max(num_windows, 0)), jnp.int32)
+    W = num_windows
+    nb = W + (J + slide - 1) // slide + 1
+    pos = jnp.moveaxis(match, 1, 2)                     # [B, Lp, K]
+    pad = nb * slide - Lp
+    if pad > 0:
+        pos = jnp.pad(pos, ((0, 0), (0, pad), (0, 0)))
+    else:
+        pos = pos[:, : nb * slide]
+    blocks = pos.reshape(B, nb, slide, K)
+
+    # carry derived from the data (see greedy_count_full on vma/sharding)
+    nf0 = jnp.broadcast_to(blocks[:, :1, :1, 0].astype(jnp.int32) * 0, (B, W, K))
+    cnt0 = nf0
+
+    def body(carry, j):
+        nf, cnt = carry
+        q = j // slide
+        r = j % slide
+        zero = jnp.int32(0)
+        m = jax.lax.dynamic_slice(blocks, (zero, q, r, zero), (B, W, 1, K))[:, :, 0, :]
+        take = m & (j >= nf)
+        return (jnp.where(take, j + k, nf), cnt + take.astype(jnp.int32)), None
+
+    (nf, cnt), _ = jax.lax.scan(body, (nf0, cnt0), jnp.arange(J, dtype=jnp.int32))
+    return jnp.moveaxis(cnt, -1, 1)                     # [B, K, W]

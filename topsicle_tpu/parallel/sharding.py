@@ -49,32 +49,41 @@ class ShardedScanModel:
         self._step1 = jax.jit(
             shard_map(
                 step1, mesh=self.mesh,
-                in_specs=(spec_b, spec_r), out_specs=spec_b,
+                in_specs=(spec_b, spec_b, spec_r), out_specs=spec_b,
             )
         )
 
-        def step2_wrap(codes, n_windows, table):
-            t, has = step2(codes, n_windows, table)
-            return t, has
-
         self._step2 = jax.jit(
             shard_map(
-                step2_wrap, mesh=self.mesh,
-                in_specs=(spec_b, spec_b, spec_r),
+                step2, mesh=self.mesh,
+                in_specs=(spec_b, spec_b, spec_b, spec_r),
                 out_specs=(spec_b, spec_b),
             )
         )
 
-    # -- host-facing API ---------------------------------------------------
+    # -- host-facing API (packs on host, same wire format as the base) -----
     def step1_counts(self, ends_codes: np.ndarray) -> np.ndarray:
-        assert ends_codes.shape[0] % self.n == 0, "batch not divisible by mesh"
-        return np.asarray(self._step1(jnp.asarray(ends_codes), self.base.table))
+        from topsicle_tpu.io import batch as batching
+
+        B = ends_codes.shape[0]
+        assert B % self.n == 0, "batch not divisible by mesh"
+        p, m = batching.pack_batch(ends_codes.reshape(B * 2, -1))
+        return np.asarray(
+            self._step1(
+                jnp.asarray(p.reshape(B, 2, -1)),
+                jnp.asarray(m.reshape(B, 2, -1)),
+                self.base.table,
+            )
+        )
 
     def step2_boundary(self, tail_codes: np.ndarray, n_windows: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:
+        from topsicle_tpu.io import batch as batching
+
         assert tail_codes.shape[0] % self.n == 0, "batch not divisible by mesh"
+        p, m = batching.pack_batch(tail_codes)
         t, has = self._step2(
-            jnp.asarray(tail_codes), jnp.asarray(n_windows), self.base.table
+            jnp.asarray(p), jnp.asarray(m), jnp.asarray(n_windows), self.base.table
         )
         return np.asarray(t), np.asarray(has)
 
