@@ -49,7 +49,7 @@ def main():
     from topsicle_tpu.models import TelomereScanModel
 
     rng = np.random.default_rng(42)
-    B = 64
+    B = 128
     read_len = 20000          # ~ONT long read
     no_bp = 1000
     window_size, slide, trimfirst, mlt = 100, 6, 100, 20000

@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU runtime (no reference analog) ---
     p.add_argument("--engine", choices=["jax", "oracle"], default="jax",
                    help="Compute engine: 'jax' (TPU/accelerator) or 'oracle' (pure-CPU reference semantics)")
-    p.add_argument("--batchSize", metavar="INT", type=int, default=256,
+    p.add_argument("--batchSize", metavar="INT", type=int, default=128,
                    help="Reads per device batch")
     return p
 

@@ -52,7 +52,7 @@ class TopsicleConfig:
     no_bp: int = 1000
 
     # --- TPU runtime section (no reference analog) ---
-    batch_size: int = 256        # reads per device step (global, pre-shard)
+    batch_size: int = 128        # reads per device step (global, pre-shard)
     length_bucket_quantum: int = 512   # scan lengths rounded up to this
     engine: str = "jax"          # "jax" (device path) or "oracle" (pure CPU)
     mesh_shape: Optional[Sequence[int]] = None  # None => all local devices

@@ -103,25 +103,31 @@ class TelomereScanModel:
         )
 
     # ---- host-facing API (numpy in / numpy out; packs on host) -----------
-    def step1_counts(self, ends_codes: np.ndarray) -> np.ndarray:
-        """[B, 2, no_bp] uint8 -> [B, 2, K] int32."""
+    def step1_counts_launch(self, ends_codes: np.ndarray):
+        """Async launch: returns the device array without syncing, so
+        callers can keep batches in flight (transfer overlaps compute)."""
         B = ends_codes.shape[0]
         p, m = batching.pack_batch(ends_codes.reshape(B * 2, -1))
-        return np.asarray(
-            self._step1(
-                jnp.asarray(p.reshape(B, 2, -1)),
-                jnp.asarray(m.reshape(B, 2, -1)),
-                self.table,
-            )
+        return self._step1(
+            jnp.asarray(p.reshape(B, 2, -1)),
+            jnp.asarray(m.reshape(B, 2, -1)),
+            self.table,
+        )
+
+    def step1_counts(self, ends_codes: np.ndarray) -> np.ndarray:
+        """[B, 2, no_bp] uint8 -> [B, 2, K] int32."""
+        return np.asarray(self.step1_counts_launch(ends_codes))
+
+    def step2_boundary_launch(self, tail_codes: np.ndarray, n_windows: np.ndarray):
+        p, m = batching.pack_batch(tail_codes)
+        return self._step2(
+            jnp.asarray(p), jnp.asarray(m), jnp.asarray(n_windows), self.table
         )
 
     def step2_boundary(self, tail_codes: np.ndarray, n_windows: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """[B, L] uint8, [B] int32 -> (t [B] int64, has [B] bool)."""
-        p, m = batching.pack_batch(tail_codes)
-        t, has = self._step2(
-            jnp.asarray(p), jnp.asarray(m), jnp.asarray(n_windows), self.table
-        )
+        t, has = self.step2_boundary_launch(tail_codes, n_windows)
         return np.asarray(t), np.asarray(has)
 
     def rawcounts(self, tail_codes: np.ndarray) -> np.ndarray:

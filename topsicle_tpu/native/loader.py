@@ -1,0 +1,143 @@
+"""Build-on-demand ctypes loader for native/tsio.cc."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(os.path.dirname(_PKG_DIR), "native", "tsio.cc")
+_SO = os.path.join(os.path.dirname(_PKG_DIR), "native", "_tsio.so")
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", _SRC, "-o", _SO, "-lz"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _SO
+    except Exception:
+        return None
+
+
+def _lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if not os.path.exists(_SRC):
+            return None
+        so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        lib.tsio_open.restype = ctypes.c_void_p
+        lib.tsio_open.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.tsio_format.restype = ctypes.c_int
+        lib.tsio_format.argtypes = [ctypes.c_void_p]
+        lib.tsio_next.restype = ctypes.c_int64
+        lib.tsio_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        lib.tsio_close.argtypes = [ctypes.c_void_p]
+        lib.tsio_subset.restype = ctypes.c_int64
+        lib.tsio_subset.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return _lib() is not None
+
+
+class NativeReader:
+    """Streams (read_id, codes ndarray) for eligible reads
+    (len > min_len), decoded/encoded in C++."""
+
+    def __init__(self, path: str, min_len: int, batch_reads: int = 512,
+                 codes_cap: int = 64 << 20):
+        lib = _lib()
+        if lib is None:
+            raise RuntimeError("native IO library unavailable")
+        self._lib = lib
+        self._h = lib.tsio_open(path.encode(), min_len)
+        if not self._h:
+            self._h = None
+            raise FileNotFoundError(f"cannot open/sniff {path}")
+        self.batch_reads = batch_reads
+        self.codes_cap = codes_cap
+
+    def __iter__(self) -> Iterator[Tuple[str, np.ndarray]]:
+        lib = self._lib
+        codes = np.empty(self.codes_cap, dtype=np.uint8)
+        offs = np.empty(self.batch_reads + 1, dtype=np.int64)
+        ids_cap = 1 << 20
+        ids = ctypes.create_string_buffer(ids_cap)
+        id_offs = np.empty(self.batch_reads + 1, dtype=np.int64)
+        while True:
+            n = lib.tsio_next(
+                self._h,
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                codes.size,
+                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ids, ids_cap,
+                id_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self.batch_reads,
+            )
+            if n == 0:
+                return
+            if n == -2:
+                raise MemoryError("native reader buffer too small for one read")
+            if n < 0:
+                raise IOError("native reader failed")
+            raw_ids = ids.raw
+            for i in range(n):
+                rid = raw_ids[id_offs[i]:id_offs[i + 1]].decode()
+                yield rid, codes[offs[i]:offs[i + 1]].copy()
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.tsio_close(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def write_subset_native(in_path: str, out_path: str, keep_ids: List[str],
+                        fastq_out: bool) -> int:
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native IO library unavailable")
+    joined = "\n".join(keep_ids).encode()
+    n = lib.tsio_subset(in_path.encode(), out_path.encode(), joined,
+                        1 if fastq_out else 0)
+    if n < 0:
+        raise IOError(f"native subset write failed for {in_path}")
+    return int(n)

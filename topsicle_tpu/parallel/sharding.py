@@ -62,29 +62,33 @@ class ShardedScanModel:
         )
 
     # -- host-facing API (packs on host, same wire format as the base) -----
-    def step1_counts(self, ends_codes: np.ndarray) -> np.ndarray:
+    def step1_counts_launch(self, ends_codes: np.ndarray):
         from topsicle_tpu.io import batch as batching
 
         B = ends_codes.shape[0]
         assert B % self.n == 0, "batch not divisible by mesh"
         p, m = batching.pack_batch(ends_codes.reshape(B * 2, -1))
-        return np.asarray(
-            self._step1(
-                jnp.asarray(p.reshape(B, 2, -1)),
-                jnp.asarray(m.reshape(B, 2, -1)),
-                self.base.table,
-            )
+        return self._step1(
+            jnp.asarray(p.reshape(B, 2, -1)),
+            jnp.asarray(m.reshape(B, 2, -1)),
+            self.base.table,
         )
 
-    def step2_boundary(self, tail_codes: np.ndarray, n_windows: np.ndarray
-                       ) -> Tuple[np.ndarray, np.ndarray]:
+    def step1_counts(self, ends_codes: np.ndarray) -> np.ndarray:
+        return np.asarray(self.step1_counts_launch(ends_codes))
+
+    def step2_boundary_launch(self, tail_codes: np.ndarray, n_windows: np.ndarray):
         from topsicle_tpu.io import batch as batching
 
         assert tail_codes.shape[0] % self.n == 0, "batch not divisible by mesh"
         p, m = batching.pack_batch(tail_codes)
-        t, has = self._step2(
+        return self._step2(
             jnp.asarray(p), jnp.asarray(m), jnp.asarray(n_windows), self.base.table
         )
+
+    def step2_boundary(self, tail_codes: np.ndarray, n_windows: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        t, has = self.step2_boundary_launch(tail_codes, n_windows)
         return np.asarray(t), np.asarray(has)
 
     def rawcounts(self, tail_codes: np.ndarray) -> np.ndarray:

@@ -99,23 +99,47 @@ class JaxEngine:
                 out.append((kmers[je], "reverse", trc_e) if trc_e > cutoff else None)
         return out
 
+    def _use_native(self) -> bool:
+        if self.cfg.native_io is False:
+            return False
+        try:
+            from topsicle_tpu.native import native_available
+        except Exception:
+            return False
+        ok = native_available()
+        if self.cfg.native_io is True and not ok:
+            raise RuntimeError("native_io requested but the C++ IO library is unavailable")
+        return ok
+
+    def _iter_eligible(self, path: str):
+        """(read_id, codes) for reads with len > minSeqLength, via the
+        C++ loader when available (gzip inflate + parse + encode in one
+        native pass), else the pure-Python reader."""
+        cfg = self.cfg
+        if self._use_native():
+            from topsicle_tpu.native import NativeReader
+
+            yield from NativeReader(path, cfg.min_seq_length)
+            return
+        for rec in reader.parse_records(path):
+            if len(rec.seq) > cfg.min_seq_length:
+                yield rec.id, batching.encode_read(rec.seq)
+
     def _step1_file(self, path: str, kmers: Sequence[str], model) -> List[_Passer]:
+        """Streaming step 1 with batches kept in flight: the device
+        computes batch i while the host parses/encodes batch i+1."""
         cfg = self.cfg
         cutoff = cfg.min_cutoff()
         B = cfg.batch_size
+        depth = 2
         passers: List[_Passer] = []
         buf: List[Tuple[int, str, np.ndarray]] = []
+        pending = []  # [(rows, device_counts)]
 
-        def flush():
-            if not buf:
-                return
-            n = len(buf)
-            ends = batching.ends_batch([c for _, _, c in buf], cfg.no_bp)
-            if n < B:  # pad to the static batch shape
-                pad = np.full((B - n, 2, cfg.no_bp), 0xFF, np.uint8)
-                ends = np.concatenate([ends, pad], axis=0)
-            counts = model.step1_counts(ends)[:n]
-            for (order, rid, codes), hit in zip(buf, self._select_hits(counts, kmers, cutoff)):
+        def drain_one():
+            rows, fut = pending.pop(0)
+            counts = np.asarray(fut)[: len(rows)]
+            for (order, rid, codes), hit in zip(rows, self._select_hits(counts, kmers, cutoff)):
                 if hit is not None:
                     km, tail, trc = hit
                     passers.append(
@@ -125,14 +149,27 @@ class JaxEngine:
                             len(codes),
                         )
                     )
-            buf.clear()
 
-        for order, rec in enumerate(reader.parse_records(path)):
-            if len(rec.seq) > cfg.min_seq_length:
-                buf.append((order, rec.id, batching.encode_read(rec.seq)))
-                if len(buf) >= B:
-                    flush()
+        def flush():
+            if not buf:
+                return
+            n = len(buf)
+            ends = batching.ends_batch([c for _, _, c in buf], cfg.no_bp)
+            if n < B:  # pad to the static batch shape
+                pad = np.full((B - n, 2, cfg.no_bp), 0xFF, np.uint8)
+                ends = np.concatenate([ends, pad], axis=0)
+            pending.append((list(buf), model.step1_counts_launch(ends)))
+            buf.clear()
+            if len(pending) > depth:
+                drain_one()
+
+        for order, (rid, codes) in enumerate(self._iter_eligible(path)):
+            buf.append((order, rid, codes))
+            if len(buf) >= B:
+                flush()
         flush()
+        while pending:
+            drain_one()
         return passers
 
     # -- subset emission ---------------------------------------------------
@@ -143,19 +180,26 @@ class JaxEngine:
             self.log(f"Temporary fasta file already exists: {out_path}. Using existing file.")
             return
         fmt = reader.extension_format(path)
-        with open(out_path, "w") as fh:
-            for rec in reader.parse_records(path):
-                if rec.id in hit_ids:
-                    writer.write_record(fh, rec, fmt)
+        if self._use_native():
+            from topsicle_tpu.native import write_subset_native
+
+            write_subset_native(path, out_path, sorted(hit_ids), fmt == "fastq")
+        else:
+            with open(out_path, "w") as fh:
+                for rec in reader.parse_records(path):
+                    if rec.id in hit_ids:
+                        writer.write_record(fh, rec, fmt)
         self.log(f"Temporary fasta file with TRC more than {cfg.min_cutoff()}:", out_path)
 
     # -- step 2 ------------------------------------------------------------
     def _step2_batches(self, passers: List[_Passer], model):
-        """Yield (sub-list of passers, boundaries) in order."""
+        """Yield (sub-list of passers, boundaries) in order, keeping up
+        to 2 device batches in flight ahead of the consumer."""
         cfg = self.cfg
         B = cfg.batch_size
-        for i in range(0, len(passers), B):
-            group = passers[i : i + B]
+        depth = 2
+
+        def launch(group):
             max_len = max(len(p.tail_codes) for p in group)
             codes, lens = batching.tails_batch(
                 [p.tail_codes for p in group], max_len, cfg.length_bucket_quantum
@@ -165,7 +209,10 @@ class JaxEngine:
                 codes = np.concatenate([codes, pad], axis=0)
                 lens = np.concatenate([lens, np.zeros(B - len(group), np.int32)])
             n_windows = batching.window_counts_for_lengths(lens, cfg.window_size, cfg.slide_value())
-            t, has = model.step2_boundary(codes, n_windows)
+            return model.step2_boundary_launch(codes, n_windows)
+
+        def consume(group, fut):
+            t, has = (np.asarray(x) for x in fut)
             bounds = []
             for j, p in enumerate(group):
                 maxc = min(cfg.maxlengthtelo, p.seq_len)
@@ -173,7 +220,17 @@ class JaxEngine:
                 if b == 0 or b > maxc:
                     b = 0
                 bounds.append(b)
-            yield group, bounds
+            return group, bounds
+
+        groups = [passers[i : i + B] for i in range(0, len(passers), B)]
+        inflight = []
+        for group in groups:
+            inflight.append((group, launch(group)))
+            if len(inflight) > depth:
+                g, f = inflight.pop(0)
+                yield consume(g, f)
+        for g, f in inflight:
+            yield consume(g, f)
 
     # -- optional per-read outputs (--plot / --rawcountpattern) ------------
     def _per_read_extras(self, group: List[_Passer], model, phrase: int,
