@@ -223,3 +223,24 @@ def test_oracle_binseg_agrees_with_device_on_float_safe_data(rng):
             assert not bool(has[0])
         else:
             assert bool(has[0]) and int(t[0]) == want, trial
+
+
+def test_window_counts_strategies_identical(rng):
+    """'offset' and 'bitmask' strategies are bit-identical."""
+    import jax.numpy as jnp
+    from topsicle_tpu.ops import match_positions, window_nonoverlap_counts
+    from topsicle_tpu.kmers import pack_kmer_table
+
+    kmers = telophrase_kmers("CCCTAAA", 5)
+    table = jnp.asarray(pack_kmer_table(kmers))
+    codes = np.array([
+        [ord(c) for c in _telomere_like(rng, "CCCTAAA", 700, 3000)]
+        for _ in range(4)
+    ], dtype=np.uint8)
+    from topsicle_tpu.kmers import encode_ascii
+    enc = np.stack([encode_ascii(bytes(row)) for row in codes])
+    m = match_positions(jnp.asarray(enc), table, 5)
+    W = (3000 - 100) // 6 + 1
+    a = window_nonoverlap_counts(m, 5, 100, 6, W, strategy="offset")
+    b = window_nonoverlap_counts(m, 5, 100, 6, W, strategy="bitmask")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Compute engine: 'jax' (TPU/accelerator) or 'oracle' (pure-CPU reference semantics)")
     p.add_argument("--batchSize", metavar="INT", type=int, default=128,
                    help="Reads per device batch")
+    p.add_argument("--resume", action="store_true",
+                   help="Continue an interrupted run: keep completed (file, k) units from the existing CSV/manifest and recompute only the rest")
+    p.add_argument("--traceDir", metavar="FOLDER", type=str, default=None,
+                   help="Write a jax.profiler trace of the run to this directory")
     return p
 
 
@@ -84,6 +88,8 @@ def config_from_args(args: argparse.Namespace) -> TopsicleConfig:
         threads=args.threads,
         engine=args.engine,
         batch_size=args.batchSize,
+        resume=args.resume,
+        trace_dir=args.traceDir,
     )
 
 

@@ -59,6 +59,8 @@ class TopsicleConfig:
     donate_buffers: bool = True
     use_pallas: Optional[bool] = None  # None => auto (on TPU backends)
     native_io: Optional[bool] = None   # None => auto (C++ loader if built)
+    resume: bool = False         # skip (file, phrase) units completed per manifest
+    trace_dir: Optional[str] = None    # jax.profiler trace output dir
 
     # ------------------------------------------------------------------
     # Derived values — the defaulting rules of the reference orchestrator.

@@ -117,7 +117,8 @@ def greedy_count_full(match: jax.Array, k: int) -> jax.Array:
 
 
 def window_nonoverlap_counts(
-    match: jax.Array, k: int, window_size: int, slide: int, num_windows: int
+    match: jax.Array, k: int, window_size: int, slide: int, num_windows: int,
+    strategy: str = "offset",
 ) -> jax.Array:
     """Per-window greedy counts, [B, K, W] int32.
 
@@ -126,12 +127,87 @@ def window_nonoverlap_counts(
     match starts are w*slide + j for j in [0, window_size-1-k].  The
     greedy chain restarts at each window start.
 
-    Gather-free formulation: one lax.scan over the J = window_size - k
-    in-window offsets with a (next_free, count) carry of shape
-    [B, W, K].  The per-offset match plane match[:, w*slide + j, :] is a
-    contiguous dynamic slice of a [B, nb, slide, K] re-blocking of the
-    match bits (position = block*slide + phase), so each step is slices
-    + elementwise ops only."""
+    Two gather-free strategies (bit-identical results, property-tested):
+
+    - "offset" (default): one lax.scan over the J = window_size - k
+      in-window offsets with a (next_free, count) carry; each step is a
+      contiguous dynamic slice of a [B, nb, slide, K] re-blocking of the
+      match bits plus elementwise ops.  Compiles fast everywhere.
+    - "bitmask": ~k x fewer scan steps — after a take the next k-1
+      offsets are blocked, so each k-offset chunk admits at most one
+      take, found via packed match-bit words + shift +
+      count-trailing-zeros.  NOTE: the variable-shift/popcount scan body
+      is pathological for some TPU toolchains (observed: the axon remote
+      compiler never finishes), so it is opt-in.
+    """
+    if strategy == "offset":
+        return _window_counts_offset_scan(match, k, window_size, slide, num_windows)
+    if strategy != "bitmask":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    J = window_size - k
+    B, K, Lp = match.shape
+    if J <= 0 or num_windows <= 0:
+        return jnp.zeros((B, K, max(num_windows, 0)), jnp.int32)
+    if k > 16:
+        raise ValueError("bitmask chunk scan supports k <= 16")
+    W = num_windows
+
+    # mbits[p] = sum_d match[p+d] << d  (d in [0, k)) — int32 words.
+    m32 = match.astype(jnp.int32)
+    acc = jnp.zeros_like(m32)
+    for d in range(k):
+        sl = m32[..., d:] if d else m32
+        sl = jnp.pad(sl, [(0, 0)] * (m32.ndim - 1) + [(0, d)])[..., :Lp]
+        acc = acc | (sl << d)
+    mbits = acc                                        # [B, K, Lp]
+
+    nb = W + (J + slide - 1) // slide + 1
+    pos = jnp.moveaxis(mbits, 1, 2)                    # [B, Lp, K]
+    pad = nb * slide - Lp
+    if pad > 0:
+        pos = jnp.pad(pos, ((0, 0), (0, pad), (0, 0)))
+    else:
+        pos = pos[:, : nb * slide]
+    blocks = pos.reshape(B, nb, slide, K)
+
+    # carry derived from the data (see greedy_count_full on vma/sharding)
+    nf0 = jnp.broadcast_to(blocks[:, :1, :1, 0] * 0, (B, W, K))
+    cnt0 = nf0
+    n_chunks = (J + k - 1) // k
+
+    def body(carry, c):
+        nf, cnt = carry
+        base = c * k                                   # chunk start offset
+        q = base // slide
+        r = base % slide
+        zero = jnp.int32(0)
+        word = jax.lax.dynamic_slice(blocks, (zero, q, r, zero), (B, W, 1, K))[:, :, 0, :]
+        # zero bits beyond J (partial last chunk) — J - base >= 1 here
+        nvalid = jnp.minimum(J - base, k)
+        word = word & ((jnp.int32(1) << nvalid) - 1)
+        # block offsets below next_free
+        shift = jnp.clip(nf - base, 0, 30)
+        avail = (word >> shift) << shift
+        take = avail != 0
+        low = avail & -avail                           # lowest set bit
+        j_rel = _popcount(low - 1)                     # its index
+        nf = jnp.where(take, base + j_rel + k, nf)
+        return (nf, cnt + take.astype(jnp.int32)), None
+
+    (nf, cnt), _ = jax.lax.scan(
+        body, (nf0, cnt0), jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return jnp.moveaxis(cnt, -1, 1)                    # [B, K, W]
+
+
+def _popcount(x: jax.Array) -> jax.Array:
+    return jax.lax.population_count(x.astype(jnp.uint32)).astype(jnp.int32)
+
+
+def _window_counts_offset_scan(
+    match: jax.Array, k: int, window_size: int, slide: int, num_windows: int
+) -> jax.Array:
+    """Per-offset scan strategy (see window_nonoverlap_counts)."""
     J = window_size - k
     B, K, Lp = match.shape
     if J <= 0 or num_windows <= 0:

@@ -284,13 +284,53 @@ class JaxEngine:
                     w.writerow([idx, p.tail, wi * self.cfg.slide_value(), km, int(counts[ki, wi])])
                     idx += 1
 
+    # -- resume support ----------------------------------------------------
+    def _prepare_resume(self, csv_path: str):
+        """Load the manifest + existing CSV; keep rows belonging to
+        completed (file, phrase) units, drop rows of interrupted units
+        (they will be recomputed).  Returns (manifest, kept_rows) where
+        kept_rows maps (label, phrase) -> [(read_id, trc_str, telo)]."""
+        import csv as _csv
+
+        from topsicle_tpu.utils import RunManifest
+
+        manifest = RunManifest(self.cfg.output_dir)
+        done_labels = set()
+        for phrase in self.cfg.telophrases():
+            for path in self.cfg.input_paths():
+                if manifest.is_done(path, phrase):
+                    done_labels.add((writer.file_label(path), phrase))
+        kept: Dict[tuple, List[tuple]] = {}
+        if os.path.exists(csv_path):
+            with open(csv_path, newline="") as fh:
+                rows = list(_csv.reader(fh))
+            body = [r for r in rows[1:] if len(r) == 5]
+            for lbl, ph, trc, rid, telo in body:
+                key = (lbl, int(ph))
+                if key in done_labels:
+                    kept.setdefault(key, []).append((rid, trc, int(telo)))
+        writer.write_csv_header(csv_path)
+        for (lbl, ph), rws in kept.items():
+            for rid, trc, telo in rws:
+                with open(csv_path, "a", newline="") as fh:
+                    _csv.writer(fh).writerow([lbl, ph, trc, rid, telo])
+        return manifest, kept
+
     # -- full run ----------------------------------------------------------
     def run(self) -> List[ReadResult]:
+        from topsicle_tpu.utils import StageTimers, trace_context
+
         cfg = self.cfg
+        timers = StageTimers()
         os.makedirs(cfg.output_dir, exist_ok=True)
         csv_path = os.path.join(cfg.output_dir, "telolengths_all.csv")
         self.log(f"Output will be here: {csv_path}")
-        if os.path.exists(csv_path) and os.path.getsize(csv_path) > 0:
+
+        manifest = None
+        kept_rows: Dict[tuple, List[tuple]] = {}
+        if cfg.resume:
+            manifest, kept_rows = self._prepare_resume(csv_path)
+        elif os.path.exists(csv_path) and os.path.getsize(csv_path) > 0:
             if cfg.override:
                 self.log(f"Output file {csv_path} already exists and will be overridden becuz having --override flag.")
                 os.remove(csv_path)
@@ -299,44 +339,67 @@ class JaxEngine:
                     f"Output file {csv_path} already exists and is not empty. "
                     "Use --override to force overwrite."
                 )
-        writer.write_csv_header(csv_path)
+        if not cfg.resume:
+            writer.write_csv_header(csv_path)
+            from topsicle_tpu.utils import RunManifest
+
+            manifest = RunManifest(cfg.output_dir)
+            manifest.reset()
 
         results: List[ReadResult] = []
         phrase_to_telo: Dict[int, List[float]] = {}
         phrase_to_trc: Dict[int, List[float]] = {}
 
-        for phrase in cfg.telophrases():
-            kmers = patterns_to_search(cfg.pattern, phrase)
-            self.log("patterns to search:", kmers)
-            model = self._model(phrase, kmers)
-            self.log("begin processing reads")
-            for path in cfg.input_paths():
-                self.log("subsetting raw dataset based on TRC cutoff")
-                passers = self._step1_file(path, kmers, model)
-                self._write_subset(path, {p.read_id for p in passers})
+        with trace_context(cfg.trace_dir):
+            for phrase in cfg.telophrases():
+                kmers = patterns_to_search(cfg.pattern, phrase)
+                self.log("patterns to search:", kmers)
+                model = self._model(phrase, kmers)
+                self.log("begin processing reads")
+                for path in cfg.input_paths():
+                    lbl = writer.file_label(path)
+                    if cfg.resume and manifest.is_done(path, phrase):
+                        self.log(f"resume: skipping completed unit {path} (k={phrase})")
+                        for rid, trc, telo in kept_rows.get((lbl, phrase), []):
+                            results.append(ReadResult(lbl, phrase, rid, float(trc), telo))
+                            phrase_to_telo.setdefault(phrase, []).append(float(telo))
+                            phrase_to_trc.setdefault(phrase, []).append(float(trc))
+                        continue
 
-                if cfg.read_check is not None:
-                    self.log("checking specific read:", cfg.read_check)
-                    sel = [p for p in passers if p.read_id == cfg.read_check]
-                    if not sel:
-                        raise ValueError(
-                            f"read {cfg.read_check!r} did not pass the step-1 TRC filter "
-                            "(the reference crashes on this combination; refusing clearly)"
-                        )
-                    self.log("step 2 on:", cfg.read_check)
-                    passers = sel
+                    self.log("subsetting raw dataset based on TRC cutoff")
+                    with timers.stage("step1"):
+                        passers = self._step1_file(path, kmers, model)
+                    with timers.stage("subset"):
+                        self._write_subset(path, {p.read_id for p in passers})
 
-                lbl = writer.file_label(path)
-                image_num = 1
-                for group, bounds in self._step2_batches(passers, model):
-                    for p, b in zip(group, bounds):
-                        writer.append_csv_row(csv_path, lbl, phrase, p.trc, p.read_id, b)
-                        results.append(ReadResult(lbl, phrase, p.read_id, p.trc, b, p.kmer, p.tail))
-                        phrase_to_telo.setdefault(phrase, []).append(float(b))
-                        phrase_to_trc.setdefault(phrase, []).append(float(p.trc))
-                    self._per_read_extras(group, model, phrase, bounds, image_num)
-                    image_num += len(group)
-            self.log("finished processing all reads")
+                    if cfg.read_check is not None:
+                        self.log("checking specific read:", cfg.read_check)
+                        sel = [p for p in passers if p.read_id == cfg.read_check]
+                        if not sel:
+                            raise ValueError(
+                                f"read {cfg.read_check!r} did not pass the step-1 TRC filter "
+                                "(the reference crashes on this combination; refusing clearly)"
+                            )
+                        self.log("step 2 on:", cfg.read_check)
+                        passers = sel
+
+                    image_num = 1
+                    n_rows = 0
+                    with timers.stage("step2"):
+                        for group, bounds in self._step2_batches(passers, model):
+                            for p, b in zip(group, bounds):
+                                writer.append_csv_row(csv_path, lbl, phrase, p.trc, p.read_id, b)
+                                results.append(ReadResult(lbl, phrase, p.read_id, p.trc, b, p.kmer, p.tail))
+                                phrase_to_telo.setdefault(phrase, []).append(float(b))
+                                phrase_to_trc.setdefault(phrase, []).append(float(p.trc))
+                                timers.count(reads=1, bases=p.seq_len)
+                                n_rows += 1
+                            self._per_read_extras(group, model, phrase, bounds, image_num)
+                            image_num += len(group)
+                    if manifest is not None and cfg.read_check is None:
+                        manifest.mark_done(path, phrase, n_rows)
+                self.log("finished processing all reads")
+        self.log(timers.summary())
 
         # The reference always saves the quadfit plot when >=3 points
         # (main.py:270-273) — not gated on --plot.

@@ -1,0 +1,4 @@
+"""Runtime utilities: stage profiling, throughput counters, run manifest."""
+
+from topsicle_tpu.utils.profiling import StageTimers, trace_context  # noqa: F401
+from topsicle_tpu.utils.manifest import RunManifest  # noqa: F401
