@@ -6,10 +6,11 @@ allsteps.py:181-187,279-291):
 - bases are small integer codes; a k-mer becomes one base-4 "rolling
   code", so matching is `k` shifted adds once per position, then one
   integer compare per table entry (VPU-friendly, no string ops);
-- `re.finditer`'s non-overlapping semantics are reproduced exactly with
-  integer jump chains: `next_match` tables from a reverse cumulative
-  min, then either pointer-doubling (whole-end counts, O(log) rounds)
-  or bounded hop iteration (per-window counts, <= (window-1)//k rounds);
+- `re.finditer`'s non-overlapping semantics are reproduced exactly by
+  gather-free greedy scans: a (next_free, count) carry advanced
+  uniformly over positions (TPU gathers are slow; uniform slices are
+  not), with three selectable window-scan strategies tuned for
+  different toolchain/perf trade-offs;
 - everything is batched [B, ...] and int32; no floats anywhere.
 
 Padding convention: invalid bases (N, gaps, padding) carry code >= 4 and
@@ -142,6 +143,8 @@ def window_nonoverlap_counts(
     """
     if strategy == "offset":
         return _window_counts_offset_scan(match, k, window_size, slide, num_windows)
+    if strategy == "phase":
+        return _window_counts_phase_scan(match, k, window_size, slide, num_windows)
     if strategy != "bitmask":
         raise ValueError(f"unknown strategy {strategy!r}")
     J = window_size - k
@@ -207,7 +210,14 @@ def _popcount(x: jax.Array) -> jax.Array:
 def _window_counts_offset_scan(
     match: jax.Array, k: int, window_size: int, slide: int, num_windows: int
 ) -> jax.Array:
-    """Per-offset scan strategy (see window_nonoverlap_counts)."""
+    """Per-offset scan strategy, default (see window_nonoverlap_counts).
+
+    One lax.scan over the J in-window offsets; the per-offset plane is a
+    contiguous dynamic slice of a [B, nb, slide, K] re-blocking of the
+    match bits.  The [.., K]-minor layout wastes lanes (K ~ 14 of 128),
+    but this graph compiles fast and predictably on every toolchain
+    tried — the phase-scan strategy below is the lane-efficient variant
+    for toolchains that can compile it."""
     J = window_size - k
     B, K, Lp = match.shape
     if J <= 0 or num_windows <= 0:
@@ -237,3 +247,52 @@ def _window_counts_offset_scan(
 
     (nf, cnt), _ = jax.lax.scan(body, (nf0, cnt0), jnp.arange(J, dtype=jnp.int32))
     return jnp.moveaxis(cnt, -1, 1)                     # [B, K, W]
+
+
+def _window_counts_phase_scan(
+    match: jax.Array, k: int, window_size: int, slide: int, num_windows: int
+) -> jax.Array:
+    """Phase-plane scan strategy (see window_nonoverlap_counts).
+
+    TPU-layout-aware: the window axis W stays on the 128-lane minor
+    dimension throughout.  The match bits are decimated once into
+    `slide` phase planes (phase r holds positions r, r+slide, ...), so
+    the per-offset plane for ALL windows is one contiguous lane slice
+    phases[r][..., j//slide : j//slide + W] — no transposes, no
+    gathers, and full lane utilization in the scan state [B, K, W].
+    ~2.8x faster steady-state than the offset scan on TPU v5e (7.2 vs
+    19.9 ms at B=128), but the axon remote compiler takes minutes on it,
+    so it is opt-in."""
+    J = window_size - k
+    B, K, Lp = match.shape
+    if J <= 0 or num_windows <= 0:
+        return jnp.zeros((B, K, max(num_windows, 0)), jnp.int32)
+    W = num_windows
+    nq = W + (J + slide - 1) // slide + 1      # phase-plane length
+    total = nq * slide
+    pad = total - Lp
+    mp = jnp.pad(match, ((0, 0), (0, 0), (0, pad))) if pad > 0 else match[..., :total]
+    phases = [mp[..., r::slide] for r in range(slide)]   # each [B, K, nq]
+
+    # carry derived from the data (see greedy_count_full on vma/sharding)
+    nf0 = jnp.broadcast_to(phases[0][:, :, :1].astype(jnp.int32) * 0, (B, K, W))
+    cnt0 = nf0
+    n_outer = (J + slide - 1) // slide
+
+    def body(carry, q):
+        # offsets j = q*slide + r, r unrolled statically so each phase
+        # plane is indexed by a plain lane-contiguous dynamic slice
+        nf, cnt = carry
+        zero = jnp.int32(0)
+        for r in range(slide):
+            j = q * slide + r
+            m = jax.lax.dynamic_slice(phases[r], (zero, zero, q), (B, K, W))
+            take = m & (j >= nf) & (j < J)
+            nf = jnp.where(take, j + k, nf)
+            cnt = cnt + take.astype(jnp.int32)
+        return (nf, cnt), None
+
+    (nf, cnt), _ = jax.lax.scan(
+        body, (nf0, cnt0), jnp.arange(n_outer, dtype=jnp.int32)
+    )
+    return cnt                                          # [B, K, W]
