@@ -163,7 +163,11 @@ class JaxEngine:
             if len(pending) > depth:
                 drain_one()
 
-        for order, (rid, codes) in enumerate(self._iter_eligible(path)):
+        from topsicle_tpu.utils.prefetch import prefetch
+
+        # parse/encode ahead on a reader thread (bounded by ~2 batches)
+        source = prefetch(self._iter_eligible(path), depth=2 * B)
+        for order, (rid, codes) in enumerate(source):
             buf.append((order, rid, codes))
             if len(buf) >= B:
                 flush()
