@@ -227,8 +227,18 @@ class OracleEngine:
                 for rec in reader.parse_records(path):
                     if rec.id in tails:
                         seqs[rec.id] = rec.seq
+                if cfg.read_check is not None:
+                    self.log("checking specific read:", cfg.read_check)
+                    hits = [h for h in hits if h.read_id == cfg.read_check]
+                    if not hits:
+                        raise ValueError(
+                            f"read {cfg.read_check!r} did not pass the step-1 TRC "
+                            "filter (the reference crashes on this combination; "
+                            "refusing clearly)"
+                        )
+
                 lbl = writer.file_label(path)
-                for h in hits:
+                for image_num, h in enumerate(hits, start=1):
                     telo = boundary_detect(
                         seqs[h.read_id], h.tail, kmers, cfg.window_size,
                         slide, cfg.trimfirst, cfg.maxlengthtelo,
@@ -238,7 +248,51 @@ class OracleEngine:
                     results.append(rr)
                     phrase_to_telo.setdefault(phrase, []).append(float(telo))
                     phrase_to_trc.setdefault(phrase, []).append(float(h.trc))
+                    if cfg.rawcountpattern or cfg.plot:
+                        self._per_read_extras(
+                            seqs[h.read_id], h, kmers, phrase, slide, telo, image_num
+                        )
 
         aggregate.summarize_all(phrase_to_trc, phrase_to_telo, cfg.input_trc(), log=self.log)
         self.log("All telomere found, have a nice day.")
         return results
+
+    # -- per-read extras (--rawcountpattern / --plot) ----------------------
+    def _per_read_extras(self, seq: str, hit: Step1Hit, kmers: Sequence[str],
+                         phrase: int, slide: int, telo: int, image_num: int) -> None:
+        cfg = self.cfg
+        starts, means = window_signal(
+            seq, hit.tail, kmers, cfg.window_size, slide,
+            cfg.trimfirst, cfg.maxlengthtelo,
+        )
+        if cfg.rawcountpattern:
+            # rawCountPattern's tidy rows (allsteps.py:359-464): positions
+            # without the trimfirst offset, counts with the or-1 floor,
+            # window-major, pandas-style unlabeled index column.
+            import csv as _csv
+
+            path = os.path.join(cfg.output_dir, f"rawcount_{phrase}_{image_num}.csv")
+            maxc = min(cfg.maxlengthtelo, len(seq))
+            s = (seq if hit.tail == "forward" else seq[::-1])[cfg.trimfirst:maxc].upper()
+            with open(path, "w", newline="") as fh:
+                w = _csv.writer(fh)
+                w.writerow(["", "tail", "position", "pattern", "count"])
+                idx = 0
+                for st in starts:
+                    win = s[st : st + cfg.window_size - 1]
+                    for km in kmers:
+                        w.writerow([idx, hit.tail, st, km,
+                                    count_nonoverlapping(win, km) or 1])
+                        idx += 1
+        if cfg.plot:
+            try:
+                from topsicle_tpu.plots import changepoint_plot
+
+                out = os.path.join(cfg.output_dir, f"plot_{phrase}_{image_num}.png")
+                x = [st + cfg.trimfirst for st in starts]
+                changepoint_plot(
+                    x, means, telo, hit.read_id, out,
+                    xlim=cfg.rangecp or min(cfg.maxlengthtelo, len(seq)),
+                )
+            except Exception as e:  # plotting must never kill a run
+                self.log(f"plot failed: {e}")
