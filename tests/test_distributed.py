@@ -1,0 +1,65 @@
+"""Multi-host orchestration (simulated in-process): file-sharded runs
+merge to a CSV byte-identical to the single-host run."""
+
+import gzip
+import random
+
+import pytest
+
+from topsicle_tpu.config import TopsicleConfig
+from topsicle_tpu.parallel import distributed as dist_mod
+from topsicle_tpu.pipeline import JaxEngine
+
+
+def _write_file(path, rng, n_reads, pattern="CCCTAAA"):
+    with gzip.open(path, "wt") as fh:
+        for i in range(n_reads):
+            telo_len = rng.randrange(300, 3000)
+            telo = (pattern * (telo_len // len(pattern) + 1))[:telo_len]
+            rest = "".join(rng.choice("ACGT") for _ in range(11000))
+            fh.write(f"@{path.split('/')[-1]}.r{i}\n{telo + rest}\n+\n{'I' * (len(telo) + 11000)}\n")
+
+
+def test_my_files_round_robin():
+    files = ["a", "b", "c", "d", "e"]
+    assert dist_mod.my_files(files, 0, 2) == [(0, "a"), (2, "c"), (4, "e")]
+    assert dist_mod.my_files(files, 1, 2) == [(1, "b"), (3, "d")]
+
+
+def test_two_process_merge_equals_single(tmp_path):
+    rng = random.Random(21)
+    d = tmp_path / "in"
+    d.mkdir()
+    for name in ["f0.fastq.gz", "f1.fastq.gz", "f2.fastq.gz"]:
+        _write_file(str(d / name), rng, 5)
+
+    # single-host reference run
+    single = tmp_path / "single"
+    JaxEngine(TopsicleConfig(input_dir=str(d), output_dir=str(single),
+                             pattern="CCCTAAA", slide=6, batch_size=8)).run()
+    want = (single / "telolengths_all.csv").read_bytes()
+
+    # simulated 2-process run: worker (pid 1) first, then merger (pid 0)
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    for pid in (1, 0):
+        cfg = TopsicleConfig(
+            input_dir=str(d), output_dir=str(multi), pattern="CCCTAAA",
+            slide=6, batch_size=8, process_id=pid, process_count=2,
+        )
+        JaxEngine(cfg).run()
+
+    got = (multi / "telolengths_all.csv").read_bytes()
+    assert got == want
+    # parts cleaned up after merge
+    assert not (multi / ".parts").exists()
+    # every subset file exists exactly once (written by its owner)
+    subsets = sorted(p.name for p in multi.glob("*_trc_over_*.fastq"))
+    assert subsets == sorted(p.name for p in single.glob("*_trc_over_*.fastq"))
+
+
+def test_distributed_rejects_resume_and_read_check(tmp_path):
+    cfg = TopsicleConfig(input_dir="x", output_dir=str(tmp_path), pattern="CCCTAAA",
+                         process_id=0, process_count=2, resume=True)
+    with pytest.raises(ValueError):
+        JaxEngine(cfg).run()

@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Continue an interrupted run: keep completed (file, k) units from the existing CSV/manifest and recompute only the rest")
     p.add_argument("--traceDir", metavar="FOLDER", type=str, default=None,
                    help="Write a jax.profiler trace of the run to this directory")
+    # --- multi-host (reference analog: manual SLURM job splitting,
+    # README.md:261-270 — here it is automatic and deterministic) ---
+    p.add_argument("--coordinator", metavar="HOST:PORT", type=str, default=None,
+                   help="jax.distributed coordinator address for multi-host runs")
+    p.add_argument("--processId", metavar="INT", type=int, default=None,
+                   help="This process's index (with --processCount; inferred from jax.distributed otherwise)")
+    p.add_argument("--processCount", metavar="INT", type=int, default=None,
+                   help="Total processes sharing the run (input files are sharded round-robin; process 0 merges)")
     return p
 
 
@@ -90,6 +98,8 @@ def config_from_args(args: argparse.Namespace) -> TopsicleConfig:
         batch_size=args.batchSize,
         resume=args.resume,
         trace_dir=args.traceDir,
+        process_id=args.processId,
+        process_count=args.processCount,
     )
 
 
@@ -114,6 +124,10 @@ def main(argv=None) -> int:
     if args.telophrase is None:
         log(f"No telophrase provided, use kmer: {cfg.telophrases()}")
 
+    if args.coordinator:
+        from topsicle_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.processCount, args.processId)
     if cfg.engine == "jax":
         import jax
 

@@ -61,6 +61,10 @@ class TopsicleConfig:
     native_io: Optional[bool] = None   # None => auto (C++ loader if built)
     resume: bool = False         # skip (file, phrase) units completed per manifest
     trace_dir: Optional[str] = None    # jax.profiler trace output dir
+    # multi-host: None => from jax.distributed (1 process unless
+    # initialized); explicit values shard input files round-robin
+    process_id: Optional[int] = None
+    process_count: Optional[int] = None
 
     # ------------------------------------------------------------------
     # Derived values — the defaulting rules of the reference orchestrator.

@@ -1,0 +1,111 @@
+"""Multi-host run orchestration.
+
+The reference scales across nodes by hand: split inputs into ~1 GB
+files and submit one SLURM job each (README.md:261-270, col_0_test.sh).
+Here the same sharding is automatic and deterministic:
+
+- every process (host) runs the same CLI; `jax.distributed` (or the
+  explicit process_id/process_count overrides) tells it who it is;
+- input files are dealt round-robin (files[pid::n]); each (phrase,
+  file) unit's CSV rows and full-precision aggregates go to a part
+  file under {outputDir}/.parts/;
+- after a cross-host barrier, process 0 merges parts in (phrase,
+  file-index) order, byte-identical to a single-host run's CSV, and
+  computes the aggregate/quadfit lines from the full-precision
+  sidecars.
+
+Single-process runs never touch this path.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+
+def process_identity(process_id: Optional[int], process_count: Optional[int]
+                     ) -> Tuple[int, int]:
+    """Explicit overrides win; otherwise ask jax (1 process unless
+    jax.distributed.initialize was called)."""
+    if process_count is not None:
+        return int(process_id or 0), int(process_count)
+    try:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def my_files(files: List[str], pid: int, n: int) -> List[Tuple[int, str]]:
+    """Round-robin deal, keeping the global file index for ordering."""
+    return [(i, f) for i, f in enumerate(files) if i % n == pid]
+
+
+def parts_dir(output_dir: str) -> str:
+    d = os.path.join(output_dir, ".parts")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def part_paths(output_dir: str, phrase: int, file_idx: int) -> Tuple[str, str]:
+    base = os.path.join(parts_dir(output_dir), f"{phrase:04d}_{file_idx:06d}")
+    return base + ".rows.csv", base + ".agg.json"
+
+
+def write_part(output_dir: str, phrase: int, file_idx: int,
+               rows: List[list], trc: List[float], telo: List[float]) -> None:
+    rows_path, agg_path = part_paths(output_dir, phrase, file_idx)
+    with open(rows_path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        for r in rows:
+            w.writerow(r)
+    with open(agg_path, "w") as fh:
+        json.dump({"phrase": phrase, "trc": trc, "telo": telo}, fh)
+
+
+def barrier() -> None:
+    """Cross-host sync; no-op single-process."""
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("topsicle_merge")
+    except Exception:
+        pass
+
+
+def merge(output_dir: str, csv_path: str
+          ) -> Tuple[Dict[int, List[float]], Dict[int, List[float]]]:
+    """Process-0 merge: concatenate part rows in (phrase, file-index)
+    order onto the already-written CSV header; return the
+    full-precision per-phrase aggregate lists."""
+    phrase_to_trc: Dict[int, List[float]] = {}
+    phrase_to_telo: Dict[int, List[float]] = {}
+    parts = sorted(glob.glob(os.path.join(parts_dir(output_dir), "*.rows.csv")))
+    with open(csv_path, "a", newline="") as out:
+        w = csv.writer(out)
+        for rows_path in parts:
+            with open(rows_path, newline="") as fh:
+                for row in csv.reader(fh):
+                    w.writerow(row)
+            agg_path = rows_path.replace(".rows.csv", ".agg.json")
+            with open(agg_path) as fh:
+                agg = json.load(fh)
+            ph = int(agg["phrase"])
+            phrase_to_trc.setdefault(ph, []).extend(agg["trc"])
+            phrase_to_telo.setdefault(ph, []).extend(agg["telo"])
+    return phrase_to_trc, phrase_to_telo
+
+
+def cleanup_parts(output_dir: str) -> None:
+    d = os.path.join(output_dir, ".parts")
+    if os.path.isdir(d):
+        for f in glob.glob(os.path.join(d, "*")):
+            os.remove(f)
+        os.rmdir(d)

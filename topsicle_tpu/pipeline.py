@@ -324,17 +324,24 @@ class JaxEngine:
     def run(self) -> List[ReadResult]:
         from topsicle_tpu.utils import StageTimers, trace_context
 
+        from topsicle_tpu.parallel import distributed as dist_mod
+
         cfg = self.cfg
         timers = StageTimers()
         os.makedirs(cfg.output_dir, exist_ok=True)
         csv_path = os.path.join(cfg.output_dir, "telolengths_all.csv")
         self.log(f"Output will be here: {csv_path}")
 
+        pid, nproc = dist_mod.process_identity(cfg.process_id, cfg.process_count)
+        dist = nproc > 1
+        if dist and (cfg.resume or cfg.read_check is not None):
+            raise ValueError("distributed runs do not support resume or read_check")
+
         manifest = None
         kept_rows: Dict[tuple, List[tuple]] = {}
         if cfg.resume:
             manifest, kept_rows = self._prepare_resume(csv_path)
-        elif os.path.exists(csv_path) and os.path.getsize(csv_path) > 0:
+        elif (not dist or pid == 0) and os.path.exists(csv_path) and os.path.getsize(csv_path) > 0:
             if cfg.override:
                 self.log(f"Output file {csv_path} already exists and will be overridden becuz having --override flag.")
                 os.remove(csv_path)
@@ -343,7 +350,7 @@ class JaxEngine:
                     f"Output file {csv_path} already exists and is not empty. "
                     "Use --override to force overwrite."
                 )
-        if not cfg.resume:
+        if not cfg.resume and (not dist or pid == 0):
             writer.write_csv_header(csv_path)
             from topsicle_tpu.utils import RunManifest
 
@@ -354,13 +361,16 @@ class JaxEngine:
         phrase_to_telo: Dict[int, List[float]] = {}
         phrase_to_trc: Dict[int, List[float]] = {}
 
+        all_files = list(enumerate(cfg.input_paths()))
+        local_files = [(i, f) for i, f in all_files if not dist or i % nproc == pid]
+
         with trace_context(cfg.trace_dir):
             for phrase in cfg.telophrases():
                 kmers = patterns_to_search(cfg.pattern, phrase)
                 self.log("patterns to search:", kmers)
                 model = self._model(phrase, kmers)
                 self.log("begin processing reads")
-                for path in cfg.input_paths():
+                for file_idx, path in local_files:
                     lbl = writer.file_label(path)
                     if cfg.resume and manifest.is_done(path, phrase):
                         self.log(f"resume: skipping completed unit {path} (k={phrase})")
@@ -389,10 +399,16 @@ class JaxEngine:
 
                     image_num = 1
                     n_rows = 0
+                    part_rows: List[list] = []
                     with timers.stage("step2"):
                         for group, bounds in self._step2_batches(passers, model):
                             for p, b in zip(group, bounds):
-                                writer.append_csv_row(csv_path, lbl, phrase, p.trc, p.read_id, b)
+                                if dist:
+                                    part_rows.append(
+                                        [lbl, phrase, f"{p.trc:.3f}", p.read_id, b]
+                                    )
+                                else:
+                                    writer.append_csv_row(csv_path, lbl, phrase, p.trc, p.read_id, b)
                                 results.append(ReadResult(lbl, phrase, p.read_id, p.trc, b, p.kmer, p.tail))
                                 phrase_to_telo.setdefault(phrase, []).append(float(b))
                                 phrase_to_trc.setdefault(phrase, []).append(float(p.trc))
@@ -400,10 +416,23 @@ class JaxEngine:
                                 n_rows += 1
                             self._per_read_extras(group, model, phrase, bounds, image_num)
                             image_num += len(group)
-                    if manifest is not None and cfg.read_check is None:
+                    if dist:
+                        dist_mod.write_part(
+                            cfg.output_dir, phrase, file_idx, part_rows,
+                            phrase_to_trc.get(phrase, [])[-n_rows:] if n_rows else [],
+                            phrase_to_telo.get(phrase, [])[-n_rows:] if n_rows else [],
+                        )
+                    elif manifest is not None and cfg.read_check is None:
                         manifest.mark_done(path, phrase, n_rows)
                 self.log("finished processing all reads")
         self.log(timers.summary())
+
+        if dist:
+            dist_mod.barrier()
+            if pid != 0:
+                return results
+            phrase_to_trc, phrase_to_telo = dist_mod.merge(cfg.output_dir, csv_path)
+            dist_mod.cleanup_parts(cfg.output_dir)
 
         # The reference always saves the quadfit plot when >=3 points
         # (main.py:270-273) — not gated on --plot.
