@@ -244,3 +244,61 @@ def test_window_counts_strategies_identical(rng):
     a = window_nonoverlap_counts(m, 5, 100, 6, W, strategy="offset")
     b = window_nonoverlap_counts(m, 5, 100, 6, W, strategy="bitmask")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lean_wire_format_matches_dense(rng):
+    """Lean (2-bit + lengths) and dense (2-bit + mask plane) wire formats
+    produce bit-identical step-1 counts and step-2 boundaries on clean
+    batches; batches with in-read N fall back to dense automatically."""
+    kmers = telophrase_kmers("CCCTAAA", 5)
+    model = TelomereScanModel(kmers, window_size=100, slide=6)
+    no_bp = 1000
+    seqs = [
+        _telomere_like(rng, "CCCTAAA", 700, 2500),
+        _telomere_like(rng, "TTTAGGG", 900, 2100)[::-1],
+        _random_seq(rng, 1500),
+        _random_seq(rng, 600),           # shorter than no_bp -> ragged
+        "CCCTAAA" * 300,
+    ]
+    codes = [batch.encode_read(s) for s in seqs]
+    ends = batch.ends_batch(codes, no_bp)
+    ends_len = np.array([min(len(c), no_bp) for c in codes], np.int32)
+    dense = model.step1_counts(ends)              # no lengths -> dense path
+    lean = model.step1_counts(ends, ends_len)
+    np.testing.assert_array_equal(dense, lean)
+
+    tails = [batch.extract_tail(c, "forward", 100, 2000) for c in codes]
+    tcodes, lens = batch.tails_batch(tails, max(len(t) for t in tails))
+    nw = batch.window_counts_for_lengths(lens, 100, 6)
+    t_d, h_d = model.step2_boundary(tcodes, nw)
+    t_l, h_l = model.step2_boundary(tcodes, nw, lens)
+    np.testing.assert_array_equal(np.asarray(t_d), np.asarray(t_l))
+    np.testing.assert_array_equal(np.asarray(h_d), np.asarray(h_l))
+
+
+def test_lean_dispatch_rejects_exotic_batches(rng):
+    """_batch_is_clean: an N inside the valid prefix forces the dense
+    path; pure suffix padding does not."""
+    from topsicle_tpu.models.telomere import _batch_is_clean
+
+    clean = np.full((2, 40), 0xFF, np.uint8)
+    clean[0, :30] = np.tile([0, 1, 2, 3, 0, 1], 5)
+    clean[1, :20] = 2
+    assert _batch_is_clean(clean, np.array([30, 20]))
+    dirty = clean.copy()
+    dirty[1, 5] = 4                       # N inside the prefix
+    assert not _batch_is_clean(dirty, np.array([30, 20]))
+
+    # end-to-end: N-containing batch silently uses the dense program
+    kmers = telophrase_kmers("CCCTAAA", 5)
+    model = TelomereScanModel(kmers, window_size=100, slide=6)
+    seq = _telomere_like(rng, "CCCTAAA", 400, 1400)
+    noisy = seq[:200] + "N" + seq[201:]
+    codes = [batch.encode_read(noisy)]
+    tails = [batch.extract_tail(codes[0], "forward", 100, 1400)]
+    tcodes, lens = batch.tails_batch(tails, len(tails[0]))
+    nw = batch.window_counts_for_lengths(lens, 100, 6)
+    t_d, h_d = model.step2_boundary(tcodes, nw)
+    t_l, h_l = model.step2_boundary(tcodes, nw, lens)   # falls back to dense
+    np.testing.assert_array_equal(np.asarray(t_d), np.asarray(t_l))
+    np.testing.assert_array_equal(np.asarray(h_d), np.asarray(h_l))

@@ -68,3 +68,29 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_lean_bit_identical(models):
+    """Lean wire format through shard_map == dense single-chip results."""
+    base, sharded = models
+    rng = np.random.default_rng(7)
+    B, no_bp = 16, 1000
+    # clean batches (codes 0..3 only) with ragged lengths
+    ends = rng.integers(0, 4, (B, 2, no_bp), dtype=np.uint8)
+    ends_len = rng.integers(200, no_bp + 1, B).astype(np.int32)
+    for i in range(B):  # suffix-pad beyond the valid length
+        ends[i, :, ends_len[i]:] = 0xFF
+    np.testing.assert_array_equal(
+        base.step1_counts(ends), sharded.step1_counts(ends, ends_len)
+    )
+
+    L = 2048
+    tails = rng.integers(0, 4, (B, L), dtype=np.uint8)
+    lens = rng.integers(150, L + 1, B).astype(np.int32)
+    for i in range(B):
+        tails[i, lens[i]:] = 0xFF
+    nw = batching.window_counts_for_lengths(lens, 100, 6)
+    t0, h0 = base.step2_boundary(tails, nw)
+    t1, h1 = sharded.step2_boundary(tails, nw, lens)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))

@@ -131,6 +131,9 @@ def main(argv=None) -> int:
     if cfg.engine == "jax":
         import jax
 
+        from topsicle_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         log(f"devices: {[str(d) for d in jax.devices()]}")
     log.plain("---------------------")
 

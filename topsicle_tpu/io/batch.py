@@ -96,3 +96,23 @@ def pack_batch(codes: np.ndarray):
     )
     inval_bits = np.packbits(invalid, axis=1, bitorder="little")
     return packed, inval_bits
+
+
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """Lean wire format: [B, L] uint8 codes -> packed [B, ceil(L/4)]
+    uint8, 2 bits/base with NO invalid-mask plane.  Valid only for
+    batches whose every in-length base is ACGT (checked by callers);
+    suffix padding is reconstructed on device from per-read lengths
+    (ops.unpack_codes_len).  L pads to a multiple of 8 so packed shapes
+    match pack_batch's (one jit cache either way)."""
+    B, L = codes.shape
+    Lp = ((L + 7) // 8) * 8
+    if Lp != L:
+        codes = np.pad(codes, ((0, 0), (0, Lp - L)), constant_values=PAD_BYTE)
+    bits = (codes & 3).astype(np.uint8)
+    return (
+        bits[:, 0::4]
+        | (bits[:, 1::4] << 2)
+        | (bits[:, 2::4] << 4)
+        | (bits[:, 3::4] << 6)
+    )

@@ -44,7 +44,7 @@ def _step1_counts(ends_packed, ends_invalid, table, *, k: int):
 
 
 def _step2_signal(tail_packed, tail_invalid, table, *, k: int, window_size: int,
-                  slide: int):
+                  slide: int, strategy: str = "offset"):
     """Packed tails -> per-window counts [B, K, W] int32.
 
     W is the static window count for the padded length; ragged reads are
@@ -55,16 +55,84 @@ def _step2_signal(tail_packed, tail_invalid, table, *, k: int, window_size: int,
     num_windows = max(0, (L - window_size) // slide + 1)
     codes = ops.unpack_codes(tail_packed, tail_invalid, L)
     match = ops.match_positions(codes, table, k)
-    return ops.window_nonoverlap_counts(match, k, window_size, slide, num_windows)
+    return ops.window_nonoverlap_counts(match, k, window_size, slide, num_windows,
+                                        strategy=strategy)
 
 
 def _step2_boundary(tail_packed, tail_invalid, n_windows, table, *, k: int,
-                    window_size: int, slide: int, jump: int, min_size: int):
+                    window_size: int, slide: int, jump: int, min_size: int,
+                    strategy: str = "offset"):
     counts = _step2_signal(tail_packed, tail_invalid, table, k=k,
-                           window_size=window_size, slide=slide)
+                           window_size=window_size, slide=slide,
+                           strategy=strategy)
     y_int = jnp.maximum(counts, 1).sum(axis=1)      # [B, W] sum over K
     t, has = ops.binseg_l2_device(y_int, n_windows, jump=jump, min_size=min_size)
     return t, has
+
+
+# ---- lean wire format variants (2 bits/base + per-read lengths; no
+# invalid-mask plane — ops.unpack_codes_len).  Chosen per batch by the
+# host when no read contains a non-ACGT base (the common case); batches
+# with N/other characters use the dense-mask programs above.  Both paths
+# are bit-identical where both apply (tested). ---------------------------
+
+def _step1_counts_lean(ends_packed, ends_len, table, *, k: int):
+    """Packed [B, 2, no_bp/4] + valid length [B] -> [B, 2, K] int32.
+    Both end rows of a read share one valid length min(len, no_bp)
+    (io.batch.extract_ends)."""
+    B, two, Lq = ends_packed.shape
+    lens = jnp.broadcast_to(ends_len[:, None], (B, two)).reshape(B * two)
+    flat = ops.unpack_codes_len(ends_packed.reshape(B * two, Lq), lens, Lq * 4)
+    match = ops.match_positions(flat, table, k)
+    return ops.greedy_count_full(match, k).reshape(B, two, -1)
+
+
+def _step2_signal_lean(tail_packed, lens, table, *, k: int, window_size: int,
+                       slide: int, strategy: str = "offset"):
+    L = tail_packed.shape[-1] * 4
+    num_windows = max(0, (L - window_size) // slide + 1)
+    codes = ops.unpack_codes_len(tail_packed, lens, L)
+    match = ops.match_positions(codes, table, k)
+    return ops.window_nonoverlap_counts(match, k, window_size, slide, num_windows,
+                                        strategy=strategy)
+
+
+def _step2_boundary_lean(tail_packed, lens, n_windows, table, *, k: int,
+                         window_size: int, slide: int, jump: int, min_size: int,
+                         strategy: str = "offset"):
+    counts = _step2_signal_lean(tail_packed, lens, table, k=k,
+                                window_size=window_size, slide=slide,
+                                strategy=strategy)
+    y_int = jnp.maximum(counts, 1).sum(axis=1)
+    t, has = ops.binseg_l2_device(y_int, n_windows, jump=jump, min_size=min_size)
+    return t, has
+
+
+def resolve_window_strategy(requested: str | None = None) -> str:
+    """Pick the step-2 window-scan strategy (see ops.match for the
+    catalogue).  Priority: explicit argument > TOPSICLE_WINDOW_STRATEGY
+    env var > 'phase'.
+
+    'phase' is ~3x faster than 'offset' steady-state on TPU (full lane
+    utilization) and bit-identical (property-tested).  Its one downside
+    — minutes-long first compile on some remote TPU toolchains — is
+    amortized by the persistent compilation cache
+    (utils/compile_cache.py), so it is the default everywhere."""
+    import os
+
+    s = requested or os.environ.get("TOPSICLE_WINDOW_STRATEGY") or "phase"
+    if s not in ("offset", "phase", "bitmask"):
+        raise ValueError(f"unknown window strategy {s!r}")
+    return s
+
+
+def _batch_is_clean(codes: np.ndarray, lens: np.ndarray) -> bool:
+    """True iff every row's valid prefix is pure ACGT (codes < 4).
+
+    Rows are suffix-padded with the invalid class, so a single vector
+    pass suffices: the ACGT count equals the valid length exactly when
+    no N/other base sits inside the prefix."""
+    return bool(((codes < 4).sum(axis=1) == np.asarray(lens).reshape(-1)).all())
 
 
 class TelomereScanModel:
@@ -73,7 +141,8 @@ class TelomereScanModel:
     the benchmarks."""
 
     def __init__(self, kmers: Sequence[str], *, window_size: int = 100,
-                 slide: int = 7, jump: int = 5, min_size: int = 2):
+                 slide: int = 7, jump: int = 5, min_size: int = 2,
+                 window_strategy: str | None = None):
         if not kmers:
             raise ValueError("empty k-mer table")
         self.kmers = list(kmers)
@@ -83,6 +152,7 @@ class TelomereScanModel:
         self.slide = slide
         self.jump = jump
         self.min_size = min_size
+        self.window_strategy = resolve_window_strategy(window_strategy)
         self.table = jnp.asarray(pack_kmer_table(self.kmers))
 
         self._step1 = jax.jit(functools.partial(_step1_counts, k=self.k))
@@ -94,40 +164,77 @@ class TelomereScanModel:
                 slide=slide,
                 jump=jump,
                 min_size=min_size,
+                strategy=self.window_strategy,
             )
         )
         self._rawcounts = jax.jit(
             functools.partial(
-                _step2_signal, k=self.k, window_size=window_size, slide=slide
+                _step2_signal, k=self.k, window_size=window_size, slide=slide,
+                strategy=self.window_strategy,
+            )
+        )
+        self._step1_lean = jax.jit(functools.partial(_step1_counts_lean, k=self.k))
+        self._step2_lean = jax.jit(
+            functools.partial(
+                _step2_boundary_lean,
+                k=self.k,
+                window_size=window_size,
+                slide=slide,
+                jump=jump,
+                min_size=min_size,
+                strategy=self.window_strategy,
             )
         )
 
     # ---- host-facing API (numpy in / numpy out; packs on host) -----------
-    def step1_counts_launch(self, ends_codes: np.ndarray):
+    def step1_counts_launch(self, ends_codes: np.ndarray,
+                            ends_len: np.ndarray | None = None):
         """Async launch: returns the device array without syncing, so
-        callers can keep batches in flight (transfer overlaps compute)."""
+        callers can keep batches in flight (transfer overlaps compute).
+
+        With `ends_len` ([B] int32 valid length per read, = min(len,
+        no_bp)) and an all-ACGT batch, the lean wire format ships 2
+        bits/base; otherwise the dense-mask format is used (identical
+        results)."""
         B = ends_codes.shape[0]
-        p, m = batching.pack_batch(ends_codes.reshape(B * 2, -1))
+        flat = ends_codes.reshape(B * 2, -1)
+        if ends_len is not None and _batch_is_clean(flat, np.repeat(ends_len, 2)):
+            p = batching.pack_codes(flat)
+            return self._step1_lean(
+                jnp.asarray(p.reshape(B, 2, -1)),
+                jnp.asarray(ends_len.astype(np.int32)),
+                self.table,
+            )
+        p, m = batching.pack_batch(flat)
         return self._step1(
             jnp.asarray(p.reshape(B, 2, -1)),
             jnp.asarray(m.reshape(B, 2, -1)),
             self.table,
         )
 
-    def step1_counts(self, ends_codes: np.ndarray) -> np.ndarray:
+    def step1_counts(self, ends_codes: np.ndarray,
+                     ends_len: np.ndarray | None = None) -> np.ndarray:
         """[B, 2, no_bp] uint8 -> [B, 2, K] int32."""
-        return np.asarray(self.step1_counts_launch(ends_codes))
+        return np.asarray(self.step1_counts_launch(ends_codes, ends_len))
 
-    def step2_boundary_launch(self, tail_codes: np.ndarray, n_windows: np.ndarray):
+    def step2_boundary_launch(self, tail_codes: np.ndarray, n_windows: np.ndarray,
+                              lens: np.ndarray | None = None):
+        if lens is not None and _batch_is_clean(tail_codes, lens):
+            p = batching.pack_codes(tail_codes)
+            return self._step2_lean(
+                jnp.asarray(p), jnp.asarray(lens.astype(np.int32)),
+                jnp.asarray(n_windows), self.table
+            )
         p, m = batching.pack_batch(tail_codes)
         return self._step2(
             jnp.asarray(p), jnp.asarray(m), jnp.asarray(n_windows), self.table
         )
 
-    def step2_boundary(self, tail_codes: np.ndarray, n_windows: np.ndarray
+    def step2_boundary(self, tail_codes: np.ndarray, n_windows: np.ndarray,
+                       lens: np.ndarray | None = None
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """[B, L] uint8, [B] int32 -> (t [B] int64, has [B] bool)."""
-        t, has = self.step2_boundary_launch(tail_codes, n_windows)
+        t, has = self.step2_boundary_launch(tail_codes, n_windows, lens)
         return np.asarray(t), np.asarray(has)
 
     def rawcounts(self, tail_codes: np.ndarray) -> np.ndarray:

@@ -17,6 +17,7 @@ from topsicle_tpu.ops.match import (  # noqa: F401,E402
     next_match_table,
     rolling_codes,
     unpack_codes,
+    unpack_codes_len,
     window_nonoverlap_counts,
 )
 from topsicle_tpu.ops.changepoint import binseg_l2_device  # noqa: F401,E402

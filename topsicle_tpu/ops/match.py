@@ -45,6 +45,25 @@ def unpack_codes(packed: jax.Array, invalid_bits: jax.Array, L: int) -> jax.Arra
     return jnp.where(invalid > 0, jnp.uint8(4), codes)
 
 
+def unpack_codes_len(packed: jax.Array, lengths: jax.Array, L: int) -> jax.Array:
+    """Device-side unpack of the *lean* wire format: [..., L/4] packed
+    bases + [...] valid lengths -> [..., L] uint8 codes with positions
+    >= length forced to the invalid class.
+
+    This is the fast path for reads with no non-ACGT characters: the
+    1-bit/base invalid-mask plane of `unpack_codes` is replaced by one
+    int32 per read (padding is always a suffix in the batch layout), a
+    ~33% cut in host->device wire traffic.  Reads containing N/other
+    characters fall back to the dense-mask format (chosen per batch on
+    host)."""
+    shifts2 = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)
+    b = (packed[..., :, None] >> shifts2) & jnp.uint8(3)
+    codes = b.reshape(*packed.shape[:-1], -1)[..., :L]
+    pos = jnp.arange(L, dtype=jnp.int32)
+    invalid = pos >= lengths.astype(jnp.int32)[..., None]
+    return jnp.where(invalid, jnp.uint8(4), codes)
+
+
 def rolling_codes(codes: jax.Array, k: int):
     """[..., L] uint8 base codes -> ([..., L-k+1] int32 rolling codes,
     [..., L-k+1] bool validity).
@@ -94,27 +113,60 @@ def greedy_count_full(match: jax.Array, k: int) -> jax.Array:
     """Greedy non-overlapping match count over the whole position axis,
     per [B, K] row — `len(list(re.finditer(kmer, s)))` semantics.
 
-    A single lax.scan over positions with a (next_free, count) carry:
-    TPU gathers are slow, so the chain is walked by advancing the
-    position uniformly (pure elementwise ops) instead of jumping
-    pointers through memory."""
-    Lp = match.shape[-1]
-    xs = jnp.moveaxis(match, -1, 0)                     # [Lp, B, K]
-    # derive the carry from `match` so it inherits sharding/varyingness
-    # under shard_map (a plain zeros constant trips the vma checker)
-    nf0 = match[..., 0].astype(jnp.int32) * 0
-    cnt0 = nf0
+    Log-depth formulation (TPU-first: no long sequential scan).  The
+    greedy state before position p is d = number of still-blocked
+    positions (0 = free, up to k-1 after a take), so each position is a
+    tiny function on the k phases:
 
-    def body(carry, x):
-        j, m = x
-        nf, cnt = carry
-        take = m & (j >= nf)
-        return (jnp.where(take, j + k, nf), cnt + take.astype(jnp.int32)), None
+        f_p(d) = (k-1, +1)        if d == 0 and match[p]
+               = (max(d-1,0), +0) otherwise
 
-    (nf, cnt), _ = jax.lax.scan(
-        body, (nf0, cnt0), (jnp.arange(Lp, dtype=jnp.int32), xs)
-    )
-    return cnt
+    and greedy counting is the composition f_{Lp-1} ∘ ... ∘ f_0
+    evaluated at d = 0.  Function composition is associative, so the
+    whole reduction runs as a balanced log2(Lp)-level tree of pairwise
+    composes; each compose indexes the k-entry tables via a one-hot
+    contraction (k <= 8: pure VPU elementwise work, no gathers, no
+    scan).  ~10 parallel levels replace the former Lp-step lax.scan
+    (Lp ~ 1000 for step 1 — an order of magnitude faster on a real
+    chip)."""
+    phases = jnp.arange(k, dtype=jnp.int32)             # [k]
+    m = match[..., None]                                # [B, K, Lp, 1]
+    take = m & (phases == 0)
+    out = jnp.where(take, k - 1, jnp.maximum(phases - 1, 0))
+    out = jnp.broadcast_to(out, match.shape + (k,)).astype(jnp.int32)
+    cnt = jnp.broadcast_to(take, match.shape + (k,)).astype(jnp.int32)
+
+    # balanced pairwise composition over the position axis
+    ax = match.ndim - 1                                 # position axis index
+    while out.shape[ax] > 1:
+        n = out.shape[ax]
+        h = n // 2
+        f_out = jax.lax.slice_in_dim(out, 0, 2 * h, 2, axis=ax)
+        f_cnt = jax.lax.slice_in_dim(cnt, 0, 2 * h, 2, axis=ax)
+        g_out = jax.lax.slice_in_dim(out, 1, 2 * h, 2, axis=ax)
+        g_cnt = jax.lax.slice_in_dim(cnt, 1, 2 * h, 2, axis=ax)
+        out2, cnt2 = _compose_phase_fns(f_out, f_cnt, g_out, g_cnt, k)
+        if n % 2:
+            tail_out = jax.lax.slice_in_dim(out, n - 1, n, axis=ax)
+            tail_cnt = jax.lax.slice_in_dim(cnt, n - 1, n, axis=ax)
+            out2 = jnp.concatenate([out2, tail_out], axis=ax)
+            cnt2 = jnp.concatenate([cnt2, tail_cnt], axis=ax)
+        out, cnt = out2, cnt2
+    # evaluate the total composition at phase 0
+    return cnt[..., 0, 0]
+
+
+def _compose_phase_fns(f_out, f_cnt, g_out, g_cnt, k: int):
+    """(g ∘ f) for batched k-phase functions: h(d) = g(f(d)), counts add.
+
+    Table indexing g[f_out[d]] is a one-hot contraction over the tiny
+    phase axis (k <= 8), which lowers to elementwise VPU ops — no
+    gathers."""
+    oh = (f_out[..., None] == jnp.arange(k, dtype=jnp.int32)).astype(jnp.int32)
+    # [..., d_in, j] x [..., j] -> [..., d_in]
+    h_out = (oh * g_out[..., None, :]).sum(-1)
+    h_cnt = f_cnt + (oh * g_cnt[..., None, :]).sum(-1)
+    return h_out, h_cnt
 
 
 def window_nonoverlap_counts(

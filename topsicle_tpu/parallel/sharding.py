@@ -22,7 +22,13 @@ try:
 except ImportError:  # pragma: no cover - older jax layout
     from jax.experimental.shard_map import shard_map
 
-from topsicle_tpu.models.telomere import _step1_counts, _step2_boundary
+from topsicle_tpu.models.telomere import (
+    _batch_is_clean,
+    _step1_counts,
+    _step1_counts_lean,
+    _step2_boundary,
+    _step2_boundary_lean,
+)
 from topsicle_tpu.parallel.mesh import DATA_AXIS, data_mesh
 
 
@@ -41,6 +47,7 @@ class ShardedScanModel:
         step2 = functools.partial(
             _step2_boundary, k=k, window_size=base.window_size,
             slide=base.slide, jump=base.jump, min_size=base.min_size,
+            strategy=base.window_strategy,
         )
 
         spec_b = P(DATA_AXIS)      # shard batch axis
@@ -61,34 +68,72 @@ class ShardedScanModel:
             )
         )
 
+        step1_lean = functools.partial(_step1_counts_lean, k=k)
+        step2_lean = functools.partial(
+            _step2_boundary_lean, k=k, window_size=base.window_size,
+            slide=base.slide, jump=base.jump, min_size=base.min_size,
+            strategy=base.window_strategy,
+        )
+        self._step1_lean = jax.jit(
+            shard_map(
+                step1_lean, mesh=self.mesh,
+                in_specs=(spec_b, spec_b, spec_r), out_specs=spec_b,
+            )
+        )
+        self._step2_lean = jax.jit(
+            shard_map(
+                step2_lean, mesh=self.mesh,
+                in_specs=(spec_b, spec_b, spec_b, spec_r),
+                out_specs=(spec_b, spec_b),
+            )
+        )
+
     # -- host-facing API (packs on host, same wire format as the base) -----
-    def step1_counts_launch(self, ends_codes: np.ndarray):
+    def step1_counts_launch(self, ends_codes: np.ndarray,
+                            ends_len: np.ndarray | None = None):
         from topsicle_tpu.io import batch as batching
 
         B = ends_codes.shape[0]
         assert B % self.n == 0, "batch not divisible by mesh"
-        p, m = batching.pack_batch(ends_codes.reshape(B * 2, -1))
+        flat = ends_codes.reshape(B * 2, -1)
+        if ends_len is not None and _batch_is_clean(flat, np.repeat(ends_len, 2)):
+            p = batching.pack_codes(flat)
+            return self._step1_lean(
+                jnp.asarray(p.reshape(B, 2, -1)),
+                jnp.asarray(ends_len.astype(np.int32)),
+                self.base.table,
+            )
+        p, m = batching.pack_batch(flat)
         return self._step1(
             jnp.asarray(p.reshape(B, 2, -1)),
             jnp.asarray(m.reshape(B, 2, -1)),
             self.base.table,
         )
 
-    def step1_counts(self, ends_codes: np.ndarray) -> np.ndarray:
-        return np.asarray(self.step1_counts_launch(ends_codes))
+    def step1_counts(self, ends_codes: np.ndarray,
+                     ends_len: np.ndarray | None = None) -> np.ndarray:
+        return np.asarray(self.step1_counts_launch(ends_codes, ends_len))
 
-    def step2_boundary_launch(self, tail_codes: np.ndarray, n_windows: np.ndarray):
+    def step2_boundary_launch(self, tail_codes: np.ndarray, n_windows: np.ndarray,
+                              lens: np.ndarray | None = None):
         from topsicle_tpu.io import batch as batching
 
         assert tail_codes.shape[0] % self.n == 0, "batch not divisible by mesh"
+        if lens is not None and _batch_is_clean(tail_codes, lens):
+            p = batching.pack_codes(tail_codes)
+            return self._step2_lean(
+                jnp.asarray(p), jnp.asarray(lens.astype(np.int32)),
+                jnp.asarray(n_windows), self.base.table
+            )
         p, m = batching.pack_batch(tail_codes)
         return self._step2(
             jnp.asarray(p), jnp.asarray(m), jnp.asarray(n_windows), self.base.table
         )
 
-    def step2_boundary(self, tail_codes: np.ndarray, n_windows: np.ndarray
+    def step2_boundary(self, tail_codes: np.ndarray, n_windows: np.ndarray,
+                       lens: np.ndarray | None = None
                        ) -> Tuple[np.ndarray, np.ndarray]:
-        t, has = self.step2_boundary_launch(tail_codes, n_windows)
+        t, has = self.step2_boundary_launch(tail_codes, n_windows, lens)
         return np.asarray(t), np.asarray(has)
 
     def rawcounts(self, tail_codes: np.ndarray) -> np.ndarray:

@@ -155,10 +155,12 @@ class JaxEngine:
                 return
             n = len(buf)
             ends = batching.ends_batch([c for _, _, c in buf], cfg.no_bp)
+            ends_len = np.zeros(B, np.int32)
+            ends_len[:n] = [min(len(c), cfg.no_bp) for _, _, c in buf]
             if n < B:  # pad to the static batch shape
                 pad = np.full((B - n, 2, cfg.no_bp), 0xFF, np.uint8)
                 ends = np.concatenate([ends, pad], axis=0)
-            pending.append((list(buf), model.step1_counts_launch(ends)))
+            pending.append((list(buf), model.step1_counts_launch(ends, ends_len)))
             buf.clear()
             if len(pending) > depth:
                 drain_one()
@@ -213,7 +215,7 @@ class JaxEngine:
                 codes = np.concatenate([codes, pad], axis=0)
                 lens = np.concatenate([lens, np.zeros(B - len(group), np.int32)])
             n_windows = batching.window_counts_for_lengths(lens, cfg.window_size, cfg.slide_value())
-            return model.step2_boundary_launch(codes, n_windows)
+            return model.step2_boundary_launch(codes, n_windows, lens)
 
         def consume(group, fut):
             t, has = (np.asarray(x) for x in fut)
