@@ -14,6 +14,17 @@ per read; all intermediates fit comfortably in VMEM
 
 Exactness contract is identical to ops.match (property-tested against
 it and the oracle); layouts are 2D with the long axis minor (lanes).
+
+STATUS (2026-08-18, libtpu v5e toolchain): interpret-mode exact;
+hardware lowering still blocked by a Mosaic shape-cast limitation in
+the 2-bit unpack — `tpu.reshape vector<8x2048x4xi32> -> vector<8x8192xi32>`
+(minor-dim interleave into lanes) fails infer-vector-layout
+(benchmarks/profile_pallas.py reproduces).  The XLA phase-scan strategy
+(ops/match.py) runs the same computation at ~7.7 ms for B=128 x 20 kbp
+on the chip, which is within ~3x of this kernel's HBM-traffic bound, so
+the fused kernel stays opt-in until Mosaic grows the layout cast or the
+kernel is restructured to take pre-unpacked codes (which forfeits the
+fusion the kernel exists for).
 """
 
 from __future__ import annotations
