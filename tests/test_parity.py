@@ -126,3 +126,51 @@ def test_multi_k_subset_reuse(tmp_path):
     res = JaxEngine(cfg).run()
     subsets = list((tmp_path / "o").glob("*_trc_over_*.fastq"))
     assert len(subsets) == 1  # one shared subset file across k values
+
+
+def test_human_pattern_multi_k_sweep(tmp_path):
+    """BASELINE config 3: human CCCTAA (6 bp) with a telophrase sweep
+    {4,5,6} and a cutoff list — engine CSV byte-equal to the oracle's."""
+    rng = random.Random(23)
+    data = tmp_path / "human.fastq.gz"
+    with gzip.open(str(data), "wt") as fh:
+        for i in range(10):
+            # mix: telomeric start, telomeric (reversed) end, random
+            kind = i % 3
+            seq = _telo_read(rng, "CCCTAA", rng.randrange(400, 3500), 11000)
+            if kind == 1:
+                seq = seq[::-1]
+            elif kind == 2:
+                seq = "".join(rng.choice("ACGT") for _ in range(11000))
+            fh.write(f"@hr{i}\n{seq}\n+\n{'F'*len(seq)}\n")
+    kw = dict(pattern="CCCTAA", telophrase=[4, 5, 6], cutoff=[0.7, 0.8],
+              min_seq_length=9000)
+    JaxEngine(TopsicleConfig(input_dir=str(data), output_dir=str(tmp_path / "j"),
+                             batch_size=4, **kw)).run()
+    OracleEngine(TopsicleConfig(input_dir=str(data), output_dir=str(tmp_path / "o"),
+                                **kw)).run()
+    j = (tmp_path / "j" / "telolengths_all.csv").read_bytes()
+    o = (tmp_path / "o" / "telolengths_all.csv").read_bytes()
+    assert j == o
+    assert j.count(b"\r\n") > 3 * 3  # rows for each k
+
+
+def test_multi_file_readahead_matches_oracle(tmp_path):
+    """Cross-file read-ahead (--threads default) must not reorder or
+    drop rows: 3 input files, engine CSV byte-equal to oracle's, and
+    byte-equal to a --threads 1 (no read-ahead) run."""
+    rng = random.Random(31)
+    d = tmp_path / "data"
+    d.mkdir()
+    for f in range(3):
+        _write_fasta(str(d / f"f{f}.fasta"), rng, n=5)
+    kw = dict(pattern="CCCTAAA", slide=6)
+    JaxEngine(TopsicleConfig(input_dir=str(d), output_dir=str(tmp_path / "j"),
+                             batch_size=4, **kw)).run()
+    JaxEngine(TopsicleConfig(input_dir=str(d), output_dir=str(tmp_path / "j1"),
+                             batch_size=4, threads=1, **kw)).run()
+    OracleEngine(TopsicleConfig(input_dir=str(d), output_dir=str(tmp_path / "o"),
+                                **kw)).run()
+    j = (tmp_path / "j" / "telolengths_all.csv").read_bytes()
+    assert j == (tmp_path / "o" / "telolengths_all.csv").read_bytes()
+    assert j == (tmp_path / "j1" / "telolengths_all.csv").read_bytes()

@@ -125,7 +125,17 @@ class JaxEngine:
             if len(rec.seq) > cfg.min_seq_length:
                 yield rec.id, batching.encode_read(rec.seq)
 
-    def _step1_file(self, path: str, kmers: Sequence[str], model) -> List[_Passer]:
+    def _read_source(self, path: str):
+        """Eager background parse/encode of one file, bounded by ~2
+        batches of reads (utils.prefetch.Prefetcher starts immediately,
+        so sources created one file ahead overlap the previous file's
+        device work — the reference's --threads fan-out, as read-ahead)."""
+        from topsicle_tpu.utils.prefetch import Prefetcher
+
+        return Prefetcher(self._iter_eligible(path), depth=2 * self.cfg.batch_size)
+
+    def _step1_file(self, path: str, kmers: Sequence[str], model,
+                    source=None) -> List[_Passer]:
         """Streaming step 1 with batches kept in flight: the device
         computes batch i while the host parses/encodes batch i+1."""
         cfg = self.cfg
@@ -165,10 +175,9 @@ class JaxEngine:
             if len(pending) > depth:
                 drain_one()
 
-        from topsicle_tpu.utils.prefetch import prefetch
-
         # parse/encode ahead on a reader thread (bounded by ~2 batches)
-        source = prefetch(self._iter_eligible(path), depth=2 * B)
+        if source is None:
+            source = self._read_source(path)
         for order, (rid, codes) in enumerate(source):
             buf.append((order, rid, codes))
             if len(buf) >= B:
@@ -372,6 +381,15 @@ class JaxEngine:
                 self.log("patterns to search:", kmers)
                 model = self._model(phrase, kmers)
                 self.log("begin processing reads")
+                # Cross-file read-ahead: while file i drives the device, a
+                # bounded reader thread parses/encodes file i+1.  This is
+                # the TPU-native shape of the reference's fork pool over
+                # files (main.py:232-235); --threads 1 disables it.
+                lookahead = cfg.threads is None or cfg.threads >= 2
+                todo = [p for _, p in local_files
+                        if not (cfg.resume and manifest.is_done(p, phrase))]
+                next_of = dict(zip(todo, todo[1:]))
+                sources: Dict[str, object] = {}
                 for file_idx, path in local_files:
                     lbl = writer.file_label(path)
                     if cfg.resume and manifest.is_done(path, phrase):
@@ -382,9 +400,14 @@ class JaxEngine:
                             phrase_to_trc.setdefault(phrase, []).append(float(trc))
                         continue
 
+                    src = sources.pop(path, None) or self._read_source(path)
+                    nxt = next_of.get(path)
+                    if lookahead and nxt is not None and nxt not in sources:
+                        sources[nxt] = self._read_source(nxt)
+
                     self.log("subsetting raw dataset based on TRC cutoff")
                     with timers.stage("step1"):
-                        passers = self._step1_file(path, kmers, model)
+                        passers = self._step1_file(path, kmers, model, source=src)
                     with timers.stage("subset"):
                         self._write_subset(path, {p.read_id for p in passers})
 

@@ -16,26 +16,46 @@ T = TypeVar("T")
 _SENTINEL = object()
 
 
-def prefetch(iterable: Iterable[T], depth: int = 4) -> Iterator[T]:
+class Prefetcher(Iterator[T]):
     """Iterate `iterable` on a background thread, `depth` items ahead.
-    Exceptions propagate to the consumer at the point of iteration."""
-    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
 
-    def worker():
+    The worker starts EAGERLY at construction (not first next()), so a
+    Prefetcher built for the *next* input file fills its queue while the
+    current file drives the device — the engine's cross-file read-ahead
+    (--threads).  Exceptions propagate to the consumer at the point of
+    iteration."""
+
+    def __init__(self, iterable: Iterable[T], depth: int = 4):
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._done = False
+        self._t = threading.Thread(target=self._worker, args=(iterable,),
+                                   daemon=True)
+        self._t.start()
+
+    def _worker(self, iterable):
         try:
             for item in iterable:
-                q.put(item)
+                self._q.put(item)
         except BaseException as e:  # noqa: BLE001 - re-raised in consumer
-            q.put((_SENTINEL, e))
+            self._q.put((_SENTINEL, e))
             return
-        q.put((_SENTINEL, None))
+        self._q.put((_SENTINEL, None))
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
+    def __iter__(self) -> "Prefetcher[T]":
+        return self
+
+    def __next__(self) -> T:
+        if self._done:
+            raise StopIteration
+        item = self._q.get()
         if isinstance(item, tuple) and len(item) == 2 and item[0] is _SENTINEL:
+            self._done = True
             if item[1] is not None:
                 raise item[1]
-            return
-        yield item
+            raise StopIteration
+        return item
+
+
+def prefetch(iterable: Iterable[T], depth: int = 4) -> Iterator[T]:
+    """Functional alias for Prefetcher (kept for callers/tests)."""
+    return Prefetcher(iterable, depth)
