@@ -50,6 +50,10 @@ class LineReader {
   }
   bool ok() const { return gz_ != nullptr; }
 
+  // True after a decode/IO failure (e.g. truncated gzip stream) —
+  // distinguishes real EOF from a stream that died mid-way.
+  bool error() const { return err_; }
+
   // Reads one line (without trailing \n / \r\n) into out; false on EOF.
   bool getline(std::string& out) {
     out.clear();
@@ -57,7 +61,13 @@ class LineReader {
       if (pos_ >= len_) {
         len_ = gzread(gz_, buf_, kBufSize);
         pos_ = 0;
-        if (len_ <= 0) return !out.empty();
+        if (len_ <= 0) {
+          int errnum = Z_OK;
+          gzerror(gz_, &errnum);
+          if (len_ < 0 || errnum != Z_OK || (len_ == 0 && !gzeof(gz_)))
+            err_ = true;
+          return !out.empty();
+        }
       }
       char* nl = static_cast<char*>(memchr(buf_ + pos_, '\n', len_ - pos_));
       if (nl) {
@@ -75,6 +85,7 @@ class LineReader {
   gzFile gz_ = nullptr;
   char buf_[kBufSize];
   int pos_ = 0, len_ = 0;
+  bool err_ = false;
 };
 
 struct Record {
@@ -100,15 +111,40 @@ class RecordReader {
     return false;
   }
 
+  // 0 = clean; 1 = IO/decode failure (truncated gzip); 2 = malformed
+  // record (stream stopped mid-record or on a bad marker line).
+  int error() const {
+    if (lr_.error()) return 1;
+    return malformed_ ? 2 : 0;
+  }
+
  private:
   bool next_fastq(Record& rec) {
     if (done_) return false;
-    if (line_.empty() || line_[0] != '@') return false;
+    while (line_.empty()) {  // skip blank separator lines (python parity)
+      if (!lr_.getline(line_)) {
+        done_ = true;
+        return false;
+      }
+    }
+    if (line_[0] != '@') {
+      malformed_ = true;
+      return false;
+    }
     rec.header.assign(line_, 1, std::string::npos);
-    if (!lr_.getline(rec.seq)) return false;
+    if (!lr_.getline(rec.seq)) {
+      malformed_ = true;  // header without sequence
+      return false;
+    }
     std::string plus;
-    if (!lr_.getline(plus) || plus.empty() || plus[0] != '+') return false;
-    if (!lr_.getline(rec.qual)) return false;
+    if (!lr_.getline(plus) || plus.empty() || plus[0] != '+') {
+      malformed_ = true;
+      return false;
+    }
+    if (!lr_.getline(rec.qual)) {
+      malformed_ = true;
+      return false;
+    }
     if (!lr_.getline(line_)) done_ = true;
     return true;
   }
@@ -133,6 +169,7 @@ class RecordReader {
   std::string line_;
   int fmt_ = 0;
   bool done_ = false;
+  bool malformed_ = false;
 };
 
 struct Reader {
@@ -184,6 +221,7 @@ int64_t tsio_next(void* handle, uint8_t* codes, int64_t codes_cap,
       rec = std::move(r->pending);
       r->has_pending = false;
     } else if (!r->rr.next(rec)) {
+      if (r->rr.error()) return -3;  // truncated/corrupt stream
       break;
     }
     if (static_cast<int64_t>(rec.seq.size()) <= r->min_len) continue;

@@ -2,6 +2,7 @@
 merge to a CSV byte-identical to the single-host run."""
 
 import gzip
+import os
 import random
 
 import pytest
@@ -63,3 +64,47 @@ def test_distributed_rejects_resume_and_read_check(tmp_path):
                          process_id=0, process_count=2, resume=True)
     with pytest.raises(ValueError):
         JaxEngine(cfg).run()
+
+
+def test_concurrent_processes_cli(tmp_path):
+    """Two OS processes running the real CLI concurrently with explicit
+    --processId/--processCount: process 0 must wait (file-based
+    done-markers) for the worker before merging, and the merged CSV must
+    equal a single-process run byte for byte."""
+    import subprocess
+    import sys as _sys
+
+    rng = random.Random(41)
+    d = tmp_path / "in"
+    d.mkdir()
+    for name in ["a.fastq.gz", "b.fastq.gz", "c.fastq.gz", "d.fastq.gz"]:
+        _write_file(str(d / name), rng, 4)
+
+    single = tmp_path / "single"
+    JaxEngine(TopsicleConfig(input_dir=str(d), output_dir=str(single),
+                             pattern="CCCTAAA", slide=6, batch_size=8)).run()
+    want = (single / "telolengths_all.csv").read_bytes()
+
+    multi = tmp_path / "multi"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    script = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from topsicle_tpu.cli import main\n"
+        "import sys\n"
+        "sys.exit(main(['--inputDir', {ind!r}, '--outputDir', {outd!r},\n"
+        "  '--pattern', 'CCCTAAA', '--slide', '6', '--batchSize', '8',\n"
+        "  '--processId', {pid!r}, '--processCount', '2']))\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c",
+             script.format(ind=str(d), outd=str(multi), pid=str(pid))],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+    assert (multi / "telolengths_all.csv").read_bytes() == want
+    assert not (multi / ".parts").exists()

@@ -85,3 +85,60 @@ def test_file_label_strips_one_extension():
 def test_subset_path_name(tmp_path):
     p = subset_path(str(tmp_path), "/d/X.fastq.gz", 0.7)
     assert os.path.basename(p) == "X.fastq_trc_over_0.7.fastq"
+
+
+def test_truncated_gzip_skipped_not_fatal(tmp_path):
+    """A corrupt/truncated .gz input is logged and skipped; other files
+    still produce their rows (the reference's pool run dies instead)."""
+    import gzip
+    import random
+
+    from topsicle_tpu.config import TopsicleConfig
+    from topsicle_tpu.pipeline import JaxEngine
+
+    rng = random.Random(5)
+    d = tmp_path / "in"
+    d.mkdir()
+    pat = "CCCTAAA"
+
+    def telo_read(tl, total):
+        telo = (pat * (tl // len(pat) + 1))[:tl]
+        return telo + "".join(rng.choice("ACGT") for _ in range(total - tl))
+
+    good = d / "good.fastq.gz"
+    with gzip.open(good, "wt") as fh:
+        for i in range(3):
+            s = telo_read(800, 11000)
+            fh.write(f"@g{i}\n{s}\n+\n{'I'*len(s)}\n")
+    # valid gzip header, truncated stream
+    full = d / "bad.fastq.gz"
+    with gzip.open(full, "wt") as fh:
+        for i in range(3):
+            s = telo_read(800, 11000)
+            fh.write(f"@b{i}\n{s}\n+\n{'I'*len(s)}\n")
+    blob = full.read_bytes()
+    full.write_bytes(blob[: len(blob) // 2])
+
+    out = tmp_path / "out"
+    res = JaxEngine(TopsicleConfig(input_dir=str(d), output_dir=str(out),
+                                   pattern=pat, slide=6, batch_size=4)).run()
+    ids = {r.read_id for r in res}
+    assert {"g0", "g1", "g2"} <= ids
+    assert not any(i.startswith("b") for i in ids)
+    log = (out / "topsicle_run.log").read_text()
+    assert "skipping this file" in log
+
+
+def test_garbage_file_yields_no_reads(tmp_path):
+    """A non-FASTA/FASTQ file sniffs to no format -> zero reads, no
+    crash (reference behavior: Biopython parses nothing)."""
+    from topsicle_tpu.config import TopsicleConfig
+    from topsicle_tpu.pipeline import JaxEngine
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "junk.fastq").write_text("this is not sequence data\nat all\n")
+    out = tmp_path / "out"
+    res = JaxEngine(TopsicleConfig(input_dir=str(d), output_dir=str(out),
+                                   pattern="CCCTAAA", slide=6)).run()
+    assert res == []

@@ -20,6 +20,19 @@ import io
 from typing import Iterator, Optional
 
 
+class InputFileError(RuntimeError):
+    """A single input file could not be read to the end (truncated gzip,
+    malformed record, IO failure).  The engine logs it and continues
+    with the remaining files — in the reference, the same condition
+    kills the whole fork-pool run after hours (a deliberate robustness
+    deviation, documented in PARITY.md)."""
+
+    def __init__(self, path: str, cause: BaseException):
+        super().__init__(f"cannot read input file {path}: {cause}")
+        self.path = path
+        self.cause = cause
+
+
 @dataclasses.dataclass
 class SeqRecord:
     """One read. `header` is the full header line without the '>'/'@'

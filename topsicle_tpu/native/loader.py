@@ -111,6 +111,8 @@ class NativeReader:
                 return
             if n == -2:
                 raise MemoryError("native reader buffer too small for one read")
+            if n == -3:
+                raise IOError("truncated or malformed input stream")
             if n < 0:
                 raise IOError("native reader failed")
             raw_ids = ids.raw

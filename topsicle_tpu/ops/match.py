@@ -326,15 +326,19 @@ def _window_counts_phase_scan(
     mp = jnp.pad(match, ((0, 0), (0, 0), (0, pad))) if pad > 0 else match[..., :total]
     phases = [mp[..., r::slide] for r in range(slide)]   # each [B, K, nq]
 
-    # carry derived from the data (see greedy_count_full on vma/sharding)
-    nf0 = jnp.broadcast_to(phases[0][:, :, :1].astype(jnp.int32) * 0, (B, K, W))
+    # Carry is int16 (nf <= J+k < 2^15, cnt <= J/1 < 2^15): the scan
+    # carry round-trips HBM every step, so halving its width halves the
+    # dominant traffic term.  Arithmetic happens in int32 in-register.
+    # (Derived from the data so it inherits sharding/varyingness under
+    # shard_map — a plain zeros constant trips the vma checker.)
+    nf0 = jnp.broadcast_to(phases[0][:, :, :1].astype(jnp.int16) * 0, (B, K, W))
     cnt0 = nf0
     n_outer = (J + slide - 1) // slide
 
     def body(carry, q):
         # offsets j = q*slide + r, r unrolled statically so each phase
         # plane is indexed by a plain lane-contiguous dynamic slice
-        nf, cnt = carry
+        nf, cnt = (c.astype(jnp.int32) for c in carry)
         zero = jnp.int32(0)
         for r in range(slide):
             j = q * slide + r
@@ -342,9 +346,9 @@ def _window_counts_phase_scan(
             take = m & (j >= nf) & (j < J)
             nf = jnp.where(take, j + k, nf)
             cnt = cnt + take.astype(jnp.int32)
-        return (nf, cnt), None
+        return (nf.astype(jnp.int16), cnt.astype(jnp.int16)), None
 
     (nf, cnt), _ = jax.lax.scan(
         body, (nf0, cnt0), jnp.arange(n_outer, dtype=jnp.int32)
     )
-    return cnt                                          # [B, K, W]
+    return cnt.astype(jnp.int32)                        # [B, K, W]

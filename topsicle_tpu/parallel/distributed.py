@@ -68,7 +68,10 @@ def write_part(output_dir: str, phrase: int, file_idx: int,
 
 
 def barrier() -> None:
-    """Cross-host sync; no-op single-process."""
+    """Cross-host sync via jax.distributed when initialized; otherwise a
+    no-op (explicit --processId runs use the file-based markers below —
+    mark_done/wait_all — so plain concurrent processes need no shared
+    runtime)."""
     try:
         import jax
 
@@ -78,6 +81,36 @@ def barrier() -> None:
             multihost_utils.sync_global_devices("topsicle_merge")
     except Exception:
         pass
+
+
+def mark_done(output_dir: str, pid: int) -> None:
+    """Signal that this process has written all its part files.  The
+    marker lives in .parts/ so cleanup_parts removes it with the rest."""
+    with open(os.path.join(parts_dir(output_dir), f"done.{pid:04d}"), "w") as fh:
+        fh.write("ok\n")
+
+
+def wait_all(output_dir: str, n: int, timeout_s: float = 86400.0,
+             poll_s: float = 0.2) -> None:
+    """Process 0 blocks until every process's done-marker exists.  This
+    is the merge-safety barrier for explicitly-coordinated runs (plain
+    OS processes, no jax.distributed): without it, merge could race
+    workers that are still writing parts."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    d = parts_dir(output_dir)
+    while True:
+        have = {f for f in os.listdir(d) if f.startswith("done.")}
+        if len(have) >= n:
+            return
+        if time.monotonic() > deadline:
+            missing = [p for p in range(n) if f"done.{p:04d}" not in have]
+            raise TimeoutError(
+                f"distributed merge: processes {missing} did not finish "
+                f"within {timeout_s:.0f}s"
+            )
+        time.sleep(poll_s)
 
 
 def merge(output_dir: str, csv_path: str

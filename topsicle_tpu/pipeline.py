@@ -87,16 +87,22 @@ class JaxEngine:
         per-end argmax (first of equals in table order), forward only on
         strict '>', keep on strict TRC > cutoff."""
         ratio = self.cfg.no_bp / len(self.cfg.pattern)
+        # vectorized over the batch; numpy argmax = first-of-equals in
+        # table order, matching Python max() (allsteps.py:190-193)
+        js = np.argmax(counts[:, 0, :], axis=1)
+        je = np.argmax(counts[:, 1, :], axis=1)
+        b = np.arange(counts.shape[0])
+        trc_s = counts[b, 0, js].astype(np.float64) / ratio
+        trc_e = counts[b, 1, je].astype(np.float64) / ratio
+        fwd = trc_s > trc_e
         out: List[Optional[Tuple[str, str, float]]] = []
-        for row in counts:
-            js = int(np.argmax(row[0]))
-            je = int(np.argmax(row[1]))
-            trc_s = float(row[0, js]) / ratio
-            trc_e = float(row[1, je]) / ratio
-            if trc_s > trc_e:
-                out.append((kmers[js], "forward", trc_s) if trc_s > cutoff else None)
+        for i in range(counts.shape[0]):
+            if fwd[i]:
+                out.append((kmers[js[i]], "forward", float(trc_s[i]))
+                           if trc_s[i] > cutoff else None)
             else:
-                out.append((kmers[je], "reverse", trc_e) if trc_e > cutoff else None)
+                out.append((kmers[je[i]], "reverse", float(trc_e[i]))
+                           if trc_e[i] > cutoff else None)
         return out
 
     def _use_native(self) -> bool:
@@ -114,16 +120,21 @@ class JaxEngine:
     def _iter_eligible(self, path: str):
         """(read_id, codes) for reads with len > minSeqLength, via the
         C++ loader when available (gzip inflate + parse + encode in one
-        native pass), else the pure-Python reader."""
+        native pass), else the pure-Python reader.  Read-level failures
+        (truncated gzip, malformed records) surface as InputFileError so
+        the run can skip the file instead of dying."""
         cfg = self.cfg
-        if self._use_native():
-            from topsicle_tpu.native import NativeReader
+        try:
+            if self._use_native():
+                from topsicle_tpu.native import NativeReader
 
-            yield from NativeReader(path, cfg.min_seq_length)
-            return
-        for rec in reader.parse_records(path):
-            if len(rec.seq) > cfg.min_seq_length:
-                yield rec.id, batching.encode_read(rec.seq)
+                yield from NativeReader(path, cfg.min_seq_length)
+                return
+            for rec in reader.parse_records(path):
+                if len(rec.seq) > cfg.min_seq_length:
+                    yield rec.id, batching.encode_read(rec.seq)
+        except (OSError, EOFError, UnicodeDecodeError, ValueError, MemoryError) as e:
+            raise reader.InputFileError(path, e) from e
 
     def _read_source(self, path: str):
         """Eager background parse/encode of one file, bounded by ~2
@@ -195,15 +206,18 @@ class JaxEngine:
             self.log(f"Temporary fasta file already exists: {out_path}. Using existing file.")
             return
         fmt = reader.extension_format(path)
-        if self._use_native():
-            from topsicle_tpu.native import write_subset_native
+        try:
+            if self._use_native():
+                from topsicle_tpu.native import write_subset_native
 
-            write_subset_native(path, out_path, sorted(hit_ids), fmt == "fastq")
-        else:
-            with open(out_path, "w") as fh:
-                for rec in reader.parse_records(path):
-                    if rec.id in hit_ids:
-                        writer.write_record(fh, rec, fmt)
+                write_subset_native(path, out_path, sorted(hit_ids), fmt == "fastq")
+            else:
+                with open(out_path, "w") as fh:
+                    for rec in reader.parse_records(path):
+                        if rec.id in hit_ids:
+                            writer.write_record(fh, rec, fmt)
+        except (OSError, EOFError, UnicodeDecodeError, ValueError) as e:
+            raise reader.InputFileError(path, e) from e
         self.log(f"Temporary fasta file with TRC more than {cfg.min_cutoff()}:", out_path)
 
     # -- step 2 ------------------------------------------------------------
@@ -406,10 +420,16 @@ class JaxEngine:
                         sources[nxt] = self._read_source(nxt)
 
                     self.log("subsetting raw dataset based on TRC cutoff")
-                    with timers.stage("step1"):
-                        passers = self._step1_file(path, kmers, model, source=src)
-                    with timers.stage("subset"):
-                        self._write_subset(path, {p.read_id for p in passers})
+                    try:
+                        with timers.stage("step1"):
+                            passers = self._step1_file(path, kmers, model, source=src)
+                        with timers.stage("subset"):
+                            self._write_subset(path, {p.read_id for p in passers})
+                    except reader.InputFileError as e:
+                        # One unreadable file must not kill a whole-genome
+                        # run; its unit stays un-done so --resume retries it.
+                        self.log(f"ERROR: {e}; skipping this file")
+                        continue
 
                     if cfg.read_check is not None:
                         self.log("checking specific read:", cfg.read_check)
@@ -453,9 +473,11 @@ class JaxEngine:
         self.log(timers.summary())
 
         if dist:
+            dist_mod.mark_done(cfg.output_dir, pid)
             dist_mod.barrier()
             if pid != 0:
                 return results
+            dist_mod.wait_all(cfg.output_dir, nproc)
             phrase_to_trc, phrase_to_telo = dist_mod.merge(cfg.output_dir, csv_path)
             dist_mod.cleanup_parts(cfg.output_dir)
 
