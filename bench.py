@@ -135,8 +135,11 @@ def main():
     mbps = loop(launch_resident, resident, "device-resident")
     loop(launch, variants, "with host transfers (tunnel)")
 
+    # Metric renamed from "scan_throughput" (which included tunnel
+    # transfers) on 2026-08-18: recorded series before/after measure
+    # different things — the rename makes the discontinuity explicit.
     print(json.dumps({
-        "metric": "scan_throughput",
+        "metric": "device_scan_throughput",
         "value": round(mbps, 1),
         "unit": "Mbp/s",
         "vs_baseline": round(mbps / 0.4, 1),

@@ -49,11 +49,16 @@ def main():
     t0 = time.time()
     results = JaxEngine(cfg, log=RunLog(out, echo=False)).run()
     dt = time.time() - t0
-    total_bp = sum(4 * [9500, 22000][0] for _ in ())  # placeholder
-    # count actual bases from the file meta: approximate with mean
+    import gzip as _gz
+    total_bp = 0
+    with _gz.open(fq, "rt") as fh:
+        for i, line in enumerate(fh):
+            if i % 4 == 1:
+                total_bp += len(line) - 1
     import jax
     print(f"[e2e] device: {jax.devices()[0]}", file=sys.stderr)
-    print(f"[e2e] {n_reads} reads in {dt:.1f}s = {n_reads/dt:.0f} reads/s; "
+    print(f"[e2e] {n_reads} reads / {total_bp/1e6:.1f} Mbp in {dt:.1f}s = "
+          f"{n_reads/dt:.0f} reads/s, {total_bp/dt/1e6:.1f} Mbp/s; "
           f"{len(results)} passed step 1", file=sys.stderr, flush=True)
 
 

@@ -293,11 +293,16 @@ int64_t tsio_subset(const char* in_path, const char* out_path,
     }
     if (fwrite(buf.data(), 1, buf.size(), out) != buf.size()) {
       fclose(out);
+      remove(out_path);
       return -1;
     }
     ++written;
   }
   fclose(out);
+  if (rr.error()) {  // stream died mid-way: the subset is incomplete
+    remove(out_path);
+    return -1;
+  }
   return written;
 }
 

@@ -108,3 +108,45 @@ def test_concurrent_processes_cli(tmp_path):
         assert p.returncode == 0, err.decode()[-2000:]
     assert (multi / "telolengths_all.csv").read_bytes() == want
     assert not (multi / ".parts").exists()
+
+
+def test_stale_parts_from_crashed_run_excluded(tmp_path):
+    """Leftover done-markers and part files from a crashed earlier run
+    (even one with a different process count) must neither satisfy the
+    merge barrier early nor leak stale rows into the merged CSV."""
+    rng = random.Random(51)
+    d = tmp_path / "in"
+    d.mkdir()
+    for name in ["f0.fastq.gz", "f1.fastq.gz"]:
+        _write_file(str(d / name), rng, 4)
+
+    single = tmp_path / "single"
+    JaxEngine(TopsicleConfig(input_dir=str(d), output_dir=str(single),
+                             pattern="CCCTAAA", slide=6, batch_size=8)).run()
+    want = (single / "telolengths_all.csv").read_bytes()
+
+    multi = tmp_path / "multi"
+    parts = multi / ".parts"
+    parts.mkdir(parents=True)
+    # stale state: a dead 4-process run's markers and a stale part with
+    # a bogus row, plus a stray part for a file index beyond this run
+    import json as _json
+    for p in range(4):
+        (parts / f"done.{p:04d}").write_text(_json.dumps(
+            {"pid": p, "parts": [f"0005_{p:06d}.rows.csv"]}))
+    (parts / "0005_000000.rows.csv").write_text("ghost,5,0.999,stale_read,123\r\n")
+    (parts / "0005_000000.agg.json").write_text(
+        _json.dumps({"phrase": 5, "trc": [0.999], "telo": [123.0]}))
+    (parts / "0005_000099.rows.csv").write_text("ghost,5,0.888,stray,9\r\n")
+    (parts / "0005_000099.agg.json").write_text(
+        _json.dumps({"phrase": 5, "trc": [0.888], "telo": [9.0]}))
+
+    for pid in (1, 0):
+        JaxEngine(TopsicleConfig(
+            input_dir=str(d), output_dir=str(multi), pattern="CCCTAAA",
+            slide=6, batch_size=8, process_id=pid, process_count=2,
+        )).run()
+    got = (multi / "telolengths_all.csv").read_bytes()
+    assert b"stale_read" not in got and b"stray" not in got
+    assert got == want
+    assert not parts.exists()

@@ -180,10 +180,18 @@ def window_nonoverlap_counts(
     match starts are w*slide + j for j in [0, window_size-1-k].  The
     greedy chain restarts at each window start.
 
-    Two gather-free strategies (bit-identical results, property-tested):
+    Three gather-free strategies (bit-identical results,
+    property-tested).  The production default is "phase"
+    (models.telomere.resolve_window_strategy); "offset"/"bitmask" remain
+    selectable via TOPSICLE_WINDOW_STRATEGY:
 
-    - "offset" (default): one lax.scan over the J = window_size - k
-      in-window offsets with a (next_free, count) carry; each step is a
+    - "phase" (default): lane-layout-aware — match bits decimated into
+      `slide` phase planes so every scan step is a contiguous lane
+      slice over all windows at once; ~3x faster than "offset" on TPU.
+      Minutes-long first compile on some remote TPU toolchains,
+      amortized by the persistent compilation cache.
+    - "offset": one lax.scan over the J = window_size - k in-window
+      offsets with a (next_free, count) carry; each step is a
       contiguous dynamic slice of a [B, nb, slide, K] re-blocking of the
       match bits plus elementwise ops.  Compiles fast everywhere.
     - "bitmask": ~k x fewer scan steps — after a take the next k-1
@@ -191,7 +199,7 @@ def window_nonoverlap_counts(
       take, found via packed match-bit words + shift +
       count-trailing-zeros.  NOTE: the variable-shift/popcount scan body
       is pathological for some TPU toolchains (observed: the axon remote
-      compiler never finishes), so it is opt-in.
+      compiler never finishes).
     """
     if strategy == "offset":
         return _window_counts_offset_scan(match, k, window_size, slide, num_windows)
@@ -262,7 +270,7 @@ def _popcount(x: jax.Array) -> jax.Array:
 def _window_counts_offset_scan(
     match: jax.Array, k: int, window_size: int, slide: int, num_windows: int
 ) -> jax.Array:
-    """Per-offset scan strategy, default (see window_nonoverlap_counts).
+    """Per-offset scan strategy (see window_nonoverlap_counts).
 
     One lax.scan over the J in-window offsets; the per-offset plane is a
     contiguous dynamic slice of a [B, nb, slide, K] re-blocking of the
@@ -312,9 +320,10 @@ def _window_counts_phase_scan(
     the per-offset plane for ALL windows is one contiguous lane slice
     phases[r][..., j//slide : j//slide + W] — no transposes, no
     gathers, and full lane utilization in the scan state [B, K, W].
-    ~2.8x faster steady-state than the offset scan on TPU v5e (7.2 vs
-    19.9 ms at B=128), but the axon remote compiler takes minutes on it,
-    so it is opt-in."""
+    ~2.8x faster steady-state than the offset scan on TPU v5e (7.3 vs
+    ~20 ms at B=128).  The production default (the axon remote
+    compiler's minutes-long first compile is a one-time cost under the
+    persistent compilation cache — utils/compile_cache.py)."""
     J = window_size - k
     B, K, Lp = match.shape
     if J <= 0 or num_windows <= 0:

@@ -83,47 +83,101 @@ def barrier() -> None:
         pass
 
 
-def mark_done(output_dir: str, pid: int) -> None:
+def reset_mine(output_dir: str, pid: int, n: int) -> None:
+    """Startup hygiene for explicitly-coordinated runs: each process
+    removes ITS OWN stale done-marker and part files (file_idx % n ==
+    pid) left by a crashed earlier run.  Ownership-scoped so concurrent
+    fresh processes can never delete each other's new output; strays
+    from runs with a different process count are excluded from the merge
+    by the done-manifests and wiped by cleanup_parts."""
+    d = parts_dir(output_dir)
+    marker = os.path.join(d, f"done.{pid:04d}")
+    if os.path.exists(marker):
+        os.remove(marker)
+    for rows_path in glob.glob(os.path.join(d, "*.rows.csv")):
+        base = os.path.basename(rows_path)
+        try:
+            file_idx = int(base.split("_")[1].split(".")[0])
+        except (IndexError, ValueError):
+            continue
+        if file_idx % n == pid:
+            os.remove(rows_path)
+            agg = rows_path.replace(".rows.csv", ".agg.json")
+            if os.path.exists(agg):
+                os.remove(agg)
+
+
+def _owned_parts(d: str, pid: int, n: int) -> List[str]:
+    out = []
+    for rows_path in glob.glob(os.path.join(d, "*.rows.csv")):
+        base = os.path.basename(rows_path)
+        try:
+            file_idx = int(base.split("_")[1].split(".")[0])
+        except (IndexError, ValueError):
+            continue
+        if file_idx % n == pid:
+            out.append(base)
+    return sorted(out)
+
+
+def mark_done(output_dir: str, pid: int, n: int) -> None:
     """Signal that this process has written all its part files.  The
-    marker lives in .parts/ so cleanup_parts removes it with the rest."""
-    with open(os.path.join(parts_dir(output_dir), f"done.{pid:04d}"), "w") as fh:
-        fh.write("ok\n")
+    marker lists this process's OWN parts (a manifest), so the merge
+    consumes exactly this run's parts and ignores strays from dead
+    runs.  It lives in .parts/ so cleanup_parts removes it with the
+    rest."""
+    d = parts_dir(output_dir)
+    with open(os.path.join(d, f"done.{pid:04d}"), "w") as fh:
+        json.dump({"pid": pid, "parts": _owned_parts(d, pid, n)}, fh)
 
 
 def wait_all(output_dir: str, n: int, timeout_s: float = 86400.0,
-             poll_s: float = 0.2) -> None:
-    """Process 0 blocks until every process's done-marker exists.  This
-    is the merge-safety barrier for explicitly-coordinated runs (plain
-    OS processes, no jax.distributed): without it, merge could race
-    workers that are still writing parts."""
+             poll_s: float = 0.2) -> List[str]:
+    """Process 0 blocks until done-markers 0..n-1 all exist (the
+    merge-safety barrier for plain-OS-process runs: without it, merge
+    could race workers still writing parts).  Returns the union of the
+    markers' part manifests."""
     import time
 
     deadline = time.monotonic() + timeout_s
     d = parts_dir(output_dir)
     while True:
-        have = {f for f in os.listdir(d) if f.startswith("done.")}
-        if len(have) >= n:
-            return
+        missing = [p for p in range(n)
+                   if not os.path.exists(os.path.join(d, f"done.{p:04d}"))]
+        if not missing:
+            break
         if time.monotonic() > deadline:
-            missing = [p for p in range(n) if f"done.{p:04d}" not in have]
             raise TimeoutError(
                 f"distributed merge: processes {missing} did not finish "
                 f"within {timeout_s:.0f}s"
             )
         time.sleep(poll_s)
+    parts: List[str] = []
+    for p in range(n):
+        with open(os.path.join(d, f"done.{p:04d}")) as fh:
+            manifest = json.load(fh)
+        parts.extend(manifest.get("parts", []))
+    return sorted(parts)
 
 
-def merge(output_dir: str, csv_path: str
+def merge(output_dir: str, csv_path: str,
+          parts: Optional[List[str]] = None
           ) -> Tuple[Dict[int, List[float]], Dict[int, List[float]]]:
     """Process-0 merge: concatenate part rows in (phrase, file-index)
     order onto the already-written CSV header; return the
-    full-precision per-phrase aggregate lists."""
+    full-precision per-phrase aggregate lists.  `parts` (basenames from
+    the done-manifests) restricts the merge to this run's files;
+    without it every *.rows.csv in .parts/ is taken."""
     phrase_to_trc: Dict[int, List[float]] = {}
     phrase_to_telo: Dict[int, List[float]] = {}
-    parts = sorted(glob.glob(os.path.join(parts_dir(output_dir), "*.rows.csv")))
+    d = parts_dir(output_dir)
+    if parts is None:
+        paths = sorted(glob.glob(os.path.join(d, "*.rows.csv")))
+    else:
+        paths = [os.path.join(d, p) for p in sorted(set(parts))]
     with open(csv_path, "a", newline="") as out:
         w = csv.writer(out)
-        for rows_path in parts:
+        for rows_path in paths:
             with open(rows_path, newline="") as fh:
                 for row in csv.reader(fh):
                     w.writerow(row)

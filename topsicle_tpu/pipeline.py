@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import zlib
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -133,7 +134,8 @@ class JaxEngine:
             for rec in reader.parse_records(path):
                 if len(rec.seq) > cfg.min_seq_length:
                     yield rec.id, batching.encode_read(rec.seq)
-        except (OSError, EOFError, UnicodeDecodeError, ValueError, MemoryError) as e:
+        except (OSError, EOFError, UnicodeDecodeError, ValueError, MemoryError,
+                zlib.error) as e:
             raise reader.InputFileError(path, e) from e
 
     def _read_source(self, path: str):
@@ -206,17 +208,27 @@ class JaxEngine:
             self.log(f"Temporary fasta file already exists: {out_path}. Using existing file.")
             return
         fmt = reader.extension_format(path)
+        # write to a temp name + atomic rename: a failed/killed write must
+        # not leave a truncated subset that a later k / --resume would
+        # silently reuse as complete (the exists-check above)
+        tmp_path = out_path + ".tmp"
         try:
             if self._use_native():
                 from topsicle_tpu.native import write_subset_native
 
-                write_subset_native(path, out_path, sorted(hit_ids), fmt == "fastq")
+                write_subset_native(path, tmp_path, sorted(hit_ids), fmt == "fastq")
             else:
-                with open(out_path, "w") as fh:
+                with open(tmp_path, "w") as fh:
                     for rec in reader.parse_records(path):
                         if rec.id in hit_ids:
                             writer.write_record(fh, rec, fmt)
-        except (OSError, EOFError, UnicodeDecodeError, ValueError) as e:
+            os.replace(tmp_path, out_path)
+        except (OSError, EOFError, UnicodeDecodeError, ValueError, zlib.error) as e:
+            if os.path.exists(tmp_path):
+                try:
+                    os.remove(tmp_path)
+                except OSError:
+                    pass
             raise reader.InputFileError(path, e) from e
         self.log(f"Temporary fasta file with TRC more than {cfg.min_cutoff()}:", out_path)
 
@@ -361,6 +373,11 @@ class JaxEngine:
         dist = nproc > 1
         if dist and (cfg.resume or cfg.read_check is not None):
             raise ValueError("distributed runs do not support resume or read_check")
+        if dist:
+            # drop this process's stale done-marker/parts from any
+            # crashed earlier run before new work begins (ownership-
+            # scoped: concurrent fresh processes are never touched)
+            dist_mod.reset_mine(cfg.output_dir, pid, nproc)
 
         manifest = None
         kept_rows: Dict[tuple, List[tuple]] = {}
@@ -404,7 +421,8 @@ class JaxEngine:
                         if not (cfg.resume and manifest.is_done(p, phrase))]
                 next_of = dict(zip(todo, todo[1:]))
                 sources: Dict[str, object] = {}
-                for file_idx, path in local_files:
+                try:
+                  for file_idx, path in local_files:
                     lbl = writer.file_label(path)
                     if cfg.resume and manifest.is_done(path, phrase):
                         self.log(f"resume: skipping completed unit {path} (k={phrase})")
@@ -430,6 +448,8 @@ class JaxEngine:
                         # run; its unit stays un-done so --resume retries it.
                         self.log(f"ERROR: {e}; skipping this file")
                         continue
+                    finally:
+                        src.close()
 
                     if cfg.read_check is not None:
                         self.log("checking specific read:", cfg.read_check)
@@ -469,16 +489,24 @@ class JaxEngine:
                         )
                     elif manifest is not None and cfg.read_check is None:
                         manifest.mark_done(path, phrase, n_rows)
+                finally:
+                    # abandoned read-ahead sources (read_check abort, a
+                    # raised error) must not leave workers blocked on
+                    # full queues holding file handles
+                    for s_ in sources.values():
+                        s_.close()
                 self.log("finished processing all reads")
         self.log(timers.summary())
 
         if dist:
-            dist_mod.mark_done(cfg.output_dir, pid)
+            dist_mod.mark_done(cfg.output_dir, pid, nproc)
             dist_mod.barrier()
             if pid != 0:
                 return results
-            dist_mod.wait_all(cfg.output_dir, nproc)
-            phrase_to_trc, phrase_to_telo = dist_mod.merge(cfg.output_dir, csv_path)
+            run_parts = dist_mod.wait_all(cfg.output_dir, nproc)
+            phrase_to_trc, phrase_to_telo = dist_mod.merge(
+                cfg.output_dir, csv_path, run_parts
+            )
             dist_mod.cleanup_parts(cfg.output_dir)
 
         # The reference always saves the quadfit plot when >=3 points

@@ -28,18 +28,51 @@ class Prefetcher(Iterator[T]):
     def __init__(self, iterable: Iterable[T], depth: int = 4):
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._done = False
+        self._stop = threading.Event()
         self._t = threading.Thread(target=self._worker, args=(iterable,),
                                    daemon=True)
         self._t.start()
 
+    def _put(self, item) -> bool:
+        """Bounded put that gives up when close() was called, so an
+        abandoned worker never blocks forever holding file handles."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self, iterable):
         try:
-            for item in iterable:
-                self._q.put(item)
-        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
-            self._q.put((_SENTINEL, e))
-            return
-        self._q.put((_SENTINEL, None))
+            try:
+                for item in iterable:
+                    if not self._put(item):
+                        return
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                self._put((_SENTINEL, e))
+                return
+            self._put((_SENTINEL, None))
+        finally:
+            close = getattr(iterable, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
+
+    def close(self) -> None:
+        """Stop the worker and release its resources.  Safe to call on a
+        fully- or partially-consumed (or never-consumed) prefetcher."""
+        self._stop.set()
+        self._done = True
+        while True:  # unblock a worker stuck on a full queue
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._t.join(timeout=5.0)
 
     def __iter__(self) -> "Prefetcher[T]":
         return self
