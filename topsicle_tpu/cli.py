@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="This process's index (with --processCount; inferred from jax.distributed otherwise)")
     p.add_argument("--processCount", metavar="INT", type=int, default=None,
                    help="Total processes sharing the run (input files are sharded round-robin; process 0 merges)")
+    p.add_argument("--shardMode", choices=["files", "global"], default="files",
+                   help="Multi-host layout: 'files' = each process computes its own files; "
+                        "'global' = one batch sharded over every chip of every host (needs --coordinator)")
     return p
 
 
@@ -100,6 +103,7 @@ def config_from_args(args: argparse.Namespace) -> TopsicleConfig:
         trace_dir=args.traceDir,
         process_id=args.processId,
         process_count=args.processCount,
+        shard_mode=args.shardMode,
     )
 
 

@@ -65,6 +65,12 @@ class TopsicleConfig:
     # initialized); explicit values shard input files round-robin
     process_id: Optional[int] = None
     process_count: Optional[int] = None
+    # "files": each process computes its own files on its own chips and
+    # process 0 merges part files (works with plain OS processes).
+    # "global": one global batch sharded over EVERY chip of every host
+    # via GSPMD (requires jax.distributed; balances compute when input
+    # files are skewed across hosts).
+    shard_mode: str = "files"
 
     # ------------------------------------------------------------------
     # Derived values — the defaulting rules of the reference orchestrator.

@@ -25,7 +25,10 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-_M32 = jnp.uint64(0xFFFFFFFF)
+# Plain Python int (a jnp scalar here would initialize the XLA backend
+# at import time, breaking jax.distributed.initialize in multi-host
+# runs); ANDing with a uint64 array promotes it correctly under x64.
+_M32 = 0xFFFFFFFF
 
 
 def _sq_limbs(a):

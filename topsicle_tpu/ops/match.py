@@ -26,8 +26,10 @@ import jax
 import jax.numpy as jnp
 
 # Sentinel for "no further match"; must stay well below int32 overflow
-# even after adding k.
-_BIG = jnp.int32(1 << 30)
+# even after adding k.  A plain Python int: creating a jnp scalar at
+# import time would initialize the XLA backend, which must not happen
+# before jax.distributed.initialize() in multi-host runs.
+_BIG = 1 << 30
 
 MAX_ROLLING_K = 15  # 4**15 < 2**31; longer k-mers would overflow int32
 

@@ -325,6 +325,148 @@ class JaxEngine:
                     w.writerow([idx, p.tail, wi * self.cfg.slide_value(), km, int(counts[ki, wi])])
                     idx += 1
 
+    # -- global-mesh mode (--shardMode global) -----------------------------
+    def _run_phrase_global(self, phrase: int, kmers: Sequence[str],
+                           local_files, timers):
+        """One telophrase in global-batch mode: every process contributes
+        a B_local shard of each global batch; GSPMD spreads the scan over
+        ALL chips of all hosts; results come back replicated and each
+        process keeps rows for reads it contributed.  Lockstep is held by
+        a per-batch OR-allgathered control word (has-data, needs-dense) —
+        hosts whose streams run dry keep feeding empty shards until every
+        stream is dry.  Returns {file_idx: (label, [row, ...])} for this
+        process plus the aggregate lists."""
+        import jax
+
+        from topsicle_tpu.models.telomere import TelomereScanModel, _batch_is_clean
+        from topsicle_tpu.parallel.multihost import (
+            GlobalScanModel, or_across_processes)
+
+        cfg = self.cfg
+        cutoff = cfg.min_cutoff()
+        n_local_dev = len(jax.local_devices())
+        B_local = cfg.batch_size
+        if B_local % n_local_dev:
+            B_local += n_local_dev - B_local % n_local_dev
+        base = TelomereScanModel(
+            kmers, window_size=cfg.window_size, slide=cfg.slide_value())
+        gmodel = GlobalScanModel(base)
+
+        # static scan length => identical global shapes on every process
+        # and one compile for the whole run
+        L_static = max(
+            cfg.length_bucket_quantum,
+            -(-(cfg.maxlengthtelo - cfg.trimfirst) // cfg.length_bucket_quantum)
+            * cfg.length_bucket_quantum,
+        )
+
+        def stream():
+            for file_idx, path in local_files:
+                try:
+                    src = self._read_source(path)
+                    try:
+                        for order, (rid, codes) in enumerate(src):
+                            yield file_idx, path, order, rid, codes
+                    finally:
+                        src.close()
+                except reader.InputFileError as e:
+                    self.log(f"ERROR: {e}; skipping this file")
+
+        # ---- step 1, lockstep global batches -----------------------------
+        it = stream()
+        passers: List[Tuple[int, str, _Passer]] = []   # (file_idx, path, passer)
+        exhausted = False
+        while True:
+            buf = []
+            while len(buf) < B_local and not exhausted:
+                try:
+                    buf.append(next(it))
+                except StopIteration:
+                    exhausted = True
+            ends = batching.ends_batch([c for *_, c in buf], cfg.no_bp)
+            if len(buf) < B_local:
+                pad = np.full((B_local - len(buf), 2, cfg.no_bp), 0xFF, np.uint8)
+                ends = np.concatenate([ends, pad], axis=0) if len(buf) else \
+                    np.full((B_local, 2, cfg.no_bp), 0xFF, np.uint8)
+            ends_len = np.zeros(B_local, np.int32)
+            ends_len[: len(buf)] = [min(len(c), cfg.no_bp) for *_, c in buf]
+            clean = _batch_is_clean(
+                ends.reshape(B_local * 2, -1), np.repeat(ends_len, 2))
+            word = or_across_processes(np.array([len(buf) > 0, not clean]))
+            if not word[0]:
+                break
+            counts = gmodel.step1_counts_global(ends, ends_len, dense=bool(word[1]))
+            mine = gmodel.my_rows(counts, B_local)[: len(buf)]
+            for (file_idx, path, order, rid, codes), hit in zip(
+                    buf, self._select_hits(mine, kmers, cutoff)):
+                if hit is not None:
+                    km, tail, trc = hit
+                    passers.append((file_idx, path, _Passer(
+                        order, rid, km, tail, trc,
+                        batching.extract_tail(codes, tail, cfg.trimfirst,
+                                              cfg.maxlengthtelo),
+                        len(codes),
+                    )))
+
+        # subset files (resume artifact) for this process's files
+        by_file: Dict[int, List[Tuple[str, _Passer]]] = {}
+        for file_idx, path, p in passers:
+            by_file.setdefault(file_idx, []).append((path, p))
+        for file_idx, path in local_files:
+            entries = by_file.get(file_idx, [])
+            try:
+                self._write_subset(path, {p.read_id for _, p in entries})
+            except reader.InputFileError as e:
+                self.log(f"ERROR: {e}; subset not written")
+
+        # ---- step 2, lockstep global batches -----------------------------
+        rows: Dict[int, tuple] = {}   # file_idx -> (label, rows, trcs, telos)
+        trcs: List[float] = []
+        telos: List[float] = []
+        pos = 0
+        while True:
+            group = passers[pos : pos + B_local]
+            pos += len(group)
+            codes, lens = batching.tails_batch(
+                [p.tail_codes for _, _, p in group], L_static,
+                cfg.length_bucket_quantum)
+            if codes.shape[1] != L_static:   # batch shorter than static L
+                padc = np.full((codes.shape[0], L_static - codes.shape[1]),
+                               0xFF, np.uint8)
+                codes = np.concatenate([codes, padc], axis=1)
+            if len(group) < B_local:
+                pad = np.full((B_local - len(group), L_static), 0xFF, np.uint8)
+                codes = np.concatenate([codes, pad], axis=0) if len(group) else \
+                    np.full((B_local, L_static), 0xFF, np.uint8)
+                lens = np.concatenate(
+                    [lens, np.zeros(B_local - len(lens), np.int32)]) if len(group) \
+                    else np.zeros(B_local, np.int32)
+            n_windows = batching.window_counts_for_lengths(
+                lens, cfg.window_size, cfg.slide_value())
+            clean = _batch_is_clean(codes, lens)
+            word = or_across_processes(np.array([len(group) > 0, not clean]))
+            if not word[0]:
+                break
+            t, has = gmodel.step2_boundary_global(
+                codes, n_windows, lens, dense=bool(word[1]))
+            t_mine = gmodel.my_rows(t, B_local)
+            has_mine = gmodel.my_rows(has, B_local)
+            for j, (file_idx, path, p) in enumerate(group):
+                maxc = min(cfg.maxlengthtelo, p.seq_len)
+                b = int(cfg.trimfirst + cfg.slide_value() * int(t_mine[j])) \
+                    if has_mine[j] else 0
+                if b == 0 or b > maxc:
+                    b = 0
+                lbl = writer.file_label(path)
+                entry = rows.setdefault(file_idx, (lbl, [], [], []))
+                entry[1].append([lbl, phrase, f"{p.trc:.3f}", p.read_id, b])
+                entry[2].append(float(p.trc))      # full precision for quadfit
+                entry[3].append(float(b))
+                trcs.append(float(p.trc))
+                telos.append(float(b))
+                timers.count(reads=1, bases=p.seq_len)
+        return rows, trcs, telos
+
     # -- resume support ----------------------------------------------------
     def _prepare_resume(self, csv_path: str):
         """Load the manifest + existing CSV; keep rows belonging to
@@ -373,6 +515,21 @@ class JaxEngine:
         dist = nproc > 1
         if dist and (cfg.resume or cfg.read_check is not None):
             raise ValueError("distributed runs do not support resume or read_check")
+        if cfg.shard_mode == "global":
+            if cfg.resume or cfg.read_check is not None or cfg.rawcountpattern or cfg.plot:
+                raise ValueError(
+                    "shardMode=global does not support resume, read_check, "
+                    "rawcountpattern, or plot (use shardMode=files)"
+                )
+            if dist:
+                import jax
+
+                if jax.process_count() != nproc:
+                    raise ValueError(
+                        "shardMode=global needs jax.distributed across all "
+                        f"processes (jax sees {jax.process_count()} process(es), "
+                        f"--processCount says {nproc}); pass --coordinator"
+                    )
         if dist:
             # drop this process's stale done-marker/parts from any
             # crashed earlier run before new work begins (ownership-
@@ -410,6 +567,25 @@ class JaxEngine:
             for phrase in cfg.telophrases():
                 kmers = patterns_to_search(cfg.pattern, phrase)
                 self.log("patterns to search:", kmers)
+                if cfg.shard_mode == "global":
+                    self.log("begin processing reads (global mesh)")
+                    rows_by_file, g_trcs, g_telos = self._run_phrase_global(
+                        phrase, kmers, local_files, timers)
+                    for file_idx in sorted(rows_by_file):
+                        lbl, rws, f_trcs, f_telos = rows_by_file[file_idx]
+                        if dist:
+                            dist_mod.write_part(cfg.output_dir, phrase,
+                                                file_idx, rws, f_trcs, f_telos)
+                        else:
+                            for r in rws:
+                                writer.append_csv_row(
+                                    csv_path, r[0], r[1], float(r[2]), r[3], r[4])
+                        for r, ft in zip(rws, f_trcs):
+                            results.append(ReadResult(lbl, phrase, r[3], ft, r[4]))
+                    phrase_to_trc.setdefault(phrase, []).extend(g_trcs)
+                    phrase_to_telo.setdefault(phrase, []).extend(g_telos)
+                    continue
+
                 model = self._model(phrase, kmers)
                 self.log("begin processing reads")
                 # Cross-file read-ahead: while file i drives the device, a
