@@ -3,28 +3,64 @@
 One kernel fuses, per read, everything between the packed wire format
 and the integer window signal the changepoint consumes:
 
-  unpack 2-bit codes -> rolling k-mer codes -> match bits vs the table
-  -> per-window greedy non-overlap counts (offset scan) -> or-1 floor
+  unpack 2-bit codes -> per-phase rolling k-mer codes -> match bits vs
+  the table -> per-window greedy non-overlap counts -> or-1 floor
   -> y_int[w] = sum_K max(count, 1)
 
-so the [K, Lp] match plane lives only in VMEM — it never round-trips
-HBM as it does in the XLA pipeline (ops/match.py).  Grid is one program
-per read; all intermediates fit comfortably in VMEM
-(14 x 20k int32 match plane ~ 1.1 MB, two [K, W] carries ~ 0.4 MB).
+so the [K, positions] match plane lives only in VMEM — it never
+round-trips HBM as it does in the XLA pipeline (ops/match.py).  Grid is
+(reads / _READS_PER_PROGRAM, window blocks).
 
 Exactness contract is identical to ops.match (property-tested against
-it and the oracle); layouts are 2D with the long axis minor (lanes).
+it and the oracle): reproduces the reference's windowed non-overlapping
+`re.finditer` counts with the windowSize-1 off-by-one
+(allsteps.py:221-224,279-291 in /root/reference).
 
-STATUS (2026-08-18, libtpu v5e toolchain): interpret-mode exact;
-hardware lowering still blocked by a Mosaic shape-cast limitation in
-the 2-bit unpack — `tpu.reshape vector<8x2048x4xi32> -> vector<8x8192xi32>`
-(minor-dim interleave into lanes) fails infer-vector-layout
-(benchmarks/profile_pallas.py reproduces).  The XLA phase-scan strategy
-(ops/match.py) runs the same computation at ~7.7 ms for B=128 x 20 kbp
-on the chip, which is within ~3x of this kernel's HBM-traffic bound, so
-the fused kernel stays opt-in until Mosaic grows the layout cast or the
-kernel is restructured to take pre-unpacked codes (which forfeits the
-fusion the kernel exists for).
+MOSAIC-FRIENDLY LAYOUT (the whole trick).  Naive formulations hit four
+lowerability walls on the current libtpu toolchain, all found
+empirically (each was the next error in line):
+
+  1. tpu.reshape vector<8x2048x4xi32> -> vector<8x8192xi32> — the 2-bit
+     unpack interleave (minor-dim merge): unsupported shape cast.
+  2. tpu.reshape vector<112x8196xi32> -> vector<112x1366x6xi32> — window
+     re-blocking (minor-dim split): unsupported shape cast.  Ditto the
+     [R, K, nq] -> [R*K, nq] collapse for int8.
+  3. Dynamic lane offsets: value-level dynamic_slice doesn't exist in
+     Mosaic, and ref loads at a dynamic lane offset must be 128-aligned.
+  4. i1 (bool) vectors with broadcast/replicated layouts — the selects
+     in a jnp.where scan body — fail relayout; tpu.dynamic_rotate only
+     handles 32-bit element types.
+
+The design that avoids all four: the HOST ships each *window block* of
+the tail as its own phase-planar, planarly-2-bit-packed segment
+(io/batch.pack_tails_phase_planar):
+
+  - base codes are decimated into `slide` phase planes (plane r holds
+    positions r, r+slide, ...);
+  - per window block of WB windows, the bq consecutive plane entries the
+    block's windows touch (WB plus the scan look-ahead halo, ~2%
+    redundancy) are gathered plane-major into a flat segment of
+    Pb = slide*bq codes;
+  - each segment is packed PLANARLY (bit-pair s of word w is flat
+    position s*(Pb/4)+w), invalid flags likewise (bit s of byte b is
+    flat position s*(Pb/8)+b).
+
+On device, per (read-block, window-block) program: the unpack is
+shift+mask+concatenate along lanes (1), each phase plane is a contiguous
+lane slice, per-phase rolling codes are contiguous slices of statically
+chosen neighbor planes (2), and the greedy offset scan is a fori_loop
+over q0 whose per-step plane access is the STATIC lane slice [0, WB) of
+match planes that ride the loop carry and rotate one entry per step
+(3; lane rotate is a native op, planes are int32 for 4).  The scan body
+is pure integer arithmetic — gates via clip, select via a*(b-c) — so no
+i1 vectors exist (4).  This mirrors the XLA phase-scan strategy
+(ops/match._window_counts_phase_scan) but fuses the whole chain in
+VMEM, and the window-block grid keeps VMEM and compiled-body size
+CONSTANT in read length.
+
+VMEM per program at WB=1024: match planes slide x [8, K, ~1045] int32
+~ 2.8 MB, greedy carries 2 x [8, K, 1024] int32 ~ 1.8 MB, codes
+[8, ~6300] int32 ~ 0.2 MB.
 """
 
 from __future__ import annotations
@@ -38,107 +74,167 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 _READS_PER_PROGRAM = 8  # sublane-dim tiling rule: blocks need 8 rows
+_BLOCK_WINDOWS = 1920   # windows per block (15 vregs wide, mult of 128)
+
+
+def _gcd(a, b):
+    while b:
+        a, b = b, a % b
+    return a
+
+
+def phase_plane_geometry(L: int, k: int, window_size: int, slide: int):
+    """Static geometry shared by the host packer and the kernel.
+
+    Returns (J, W, WB, nWB, n_outer, bq):
+      J       in-window match-start offsets (window_size - k),
+      W       windows over the padded length L,
+      WB      windows per block,
+      nWB     number of window blocks (ceil(W / WB)),
+      n_outer fori_loop trip count (ceil(J / slide)),
+      bq      per-block plane length in entries: window w at offset j
+              reads plane (j%slide) entry w + j//slide, so a block needs
+              WB + n_outer match entries, whose rolling codes read base
+              planes up to (slide+k-2)//slide + 1 entries further.
+
+    Alignment: with a single block every BlockSpec equals the full
+    array, so bq only honors the planar pack's %8 quantum.  With
+    multiple blocks, Pallas requires block last dims divisible by 128:
+    WB = _BLOCK_WINDOWS (a 128-multiple) and bq rounds up so both
+    Pb/4 and Pb/8 are 128-multiples (slide*bq % 1024 == 0) — a few %
+    of wire/VMEM padding.
+    """
+    J = window_size - k
+    W = max(0, (L - window_size) // slide + 1)
+    n_outer = (J + slide - 1) // slide
+    need = n_outer + (slide + k - 2) // slide + 1    # halo beyond WB
+    if W == 0:
+        return J, 0, 0, 0, n_outer, 0
+    if W <= _BLOCK_WINDOWS:
+        WB, nWB = W, 1
+        bq = W + need
+        while (bq * slide) % 8:
+            bq += 1
+    else:
+        WB = _BLOCK_WINDOWS
+        nWB = -(-W // WB)
+        m = 1024 // _gcd(slide, 1024)
+        bq = -(-(WB + need) // m) * m
+    return J, W, WB, nWB, n_outer, bq
 
 
 def _signal_kernel(packed_ref, invalid_ref, table_ref, out_ref, *,
-                   k: int, K: int, window_size: int, slide: int,
-                   L: int, W: int, J: int, nb: int):
+                   k: int, K: int, slide: int, J: int, WB: int,
+                   n_outer: int, bq: int):
     R = _READS_PER_PROGRAM
-    packed = packed_ref[...].astype(jnp.int32)         # [R, L//4]
-    iv = invalid_ref[...].astype(jnp.int32)            # [R, L//8]
+    nq = WB + n_outer              # match-plane entries this block needs
+    packed = packed_ref[...].astype(jnp.int32)         # [R, Pb//4]
+    iv = invalid_ref[...].astype(jnp.int32)            # [R, Pb//8]
 
-    # ---- unpack 2-bit codes + invalid mask -> codes [R, L] ----
-    cols = [(packed >> (2 * s)) & 3 for s in range(4)]
-    codes = jnp.stack(cols, axis=-1).reshape(R, L)
-    bits = [(iv >> s) & 1 for s in range(8)]
-    invalid = jnp.stack(bits, axis=-1).reshape(R, L)
-    codes = jnp.where(invalid > 0, jnp.int32(4), codes)
+    # ---- planar unpack: shift+mask quarters -> lane concat [R, Pb] ----
+    codes = jnp.concatenate([(packed >> (2 * s)) & 3 for s in range(4)], axis=1)
+    invalid = jnp.concatenate([(iv >> s) & 1 for s in range(8)], axis=1)
+    codes = codes + invalid * 4    # invalid -> code >= 4 (poisons k-mers)
 
-    # ---- rolling codes + validity [R, Lp] ----
-    Lp = L - k + 1
-    val = jnp.zeros((R, Lp), jnp.int32)
-    bad = jnp.zeros((R, Lp), jnp.int32)
-    for j in range(k):
-        sl = jax.lax.slice(codes, (0, j), (R, j + Lp))
-        val = val + sl * (4 ** j)
-        bad = bad | (sl >= 4).astype(jnp.int32)
+    # ---- phase planes of base codes: contiguous lane slices ----
+    planes = [
+        jax.lax.slice(codes, (0, r * bq), (R, (r + 1) * bq))
+        for r in range(slide)
+    ]
 
-    # ---- match plane, all reads x k-mers fused: [R*K, Lp] ----
+    # ---- per-phase rolling codes + match planes [R, K, nq] (int32) ----
+    # Rolling code at plane entry (r, q) = block position q*slide + r;
+    # base j of it lives in plane (r+j)%slide at entry q + (r+j)//slide —
+    # static per (r, j), so every read is a contiguous slice.
     table = table_ref[...].reshape(1, K, 1)
-    match = (
-        (val.reshape(R, 1, Lp) == table) & (bad.reshape(R, 1, Lp) == 0)
-    ).astype(jnp.int32).reshape(R * K, Lp)
+    mplanes = []
+    for r in range(slide):
+        val = jnp.zeros((R, nq), jnp.int32)
+        bad = jnp.zeros((R, nq), jnp.int32)
+        for j in range(k):
+            rr, qq = (r + j) % slide, (r + j) // slide
+            sl = jax.lax.slice(planes[rr], (0, qq), (R, qq + nq))
+            val = val + sl * (4 ** j)
+            bad = bad | (sl >= 4).astype(jnp.int32)
+        m = (val.reshape(R, 1, nq) == table) & (bad.reshape(R, 1, nq) == 0)
+        mplanes.append(m.astype(jnp.int32))
 
-    # ---- re-block positions: [R*K, nb, slide] so the per-offset slice
-    # (all windows, offset j) is contiguous ----
-    # (jnp.pad recurses infinitely when traced inside a pallas kernel
-    # under x64 — concatenate instead)
-    pad = nb * slide - Lp
-    if pad > 0:
-        match = jnp.concatenate(
-            [match, jnp.zeros((R * K, pad), jnp.int32)], axis=1
-        )
-    blocks = match.reshape(R * K, nb, slide)
+    # ---- greedy offset scan over the J offsets ----
+    def body(q0, carry):
+        nf, cnt, planes = carry
+        for r in range(slide):
+            j = q0 * slide + r
+            m = jax.lax.slice(planes[r], (0, 0, 0), (R, K, WB))
+            gate = jnp.clip(j - nf + 1, 0, 1)        # 1 iff j >= nf
+            gate = gate * jnp.clip(J - j, 0, 1)      # and j < J
+            take = m * gate                           # m in {0, 1}
+            nf = nf + take * (j + k - nf)
+            cnt = cnt + take
+        # rotate left one entry (pltpu.roll wants non-negative shifts)
+        planes = tuple(pltpu.roll(p, nq - 1, 2) for p in planes)
+        return nf, cnt, planes
 
-    # ---- offset scan: greedy restart per window (statically unrolled:
-    # Mosaic has no value-level dynamic_slice, and J is small) ----
-    nf = jnp.zeros((R * K, W), jnp.int32)
-    cnt = jnp.zeros((R * K, W), jnp.int32)
-    for j in range(J):
-        q, rr = divmod(j, slide)
-        m = jax.lax.slice(
-            blocks, (0, q, rr), (R * K, q + W, rr + 1)
-        )[:, :, 0]
-        take = (m > 0) & (j >= nf)
-        nf = jnp.where(take, jnp.int32(j + k), nf)
-        cnt = cnt + take.astype(jnp.int32)
+    nf0 = jnp.zeros((R, K, WB), jnp.int32)
+    _, cnt, _ = jax.lax.fori_loop(
+        0, n_outer, body, (nf0, nf0, tuple(mplanes))
+    )
 
     # ---- or-1 floor, reduce over K ----
-    out_ref[...] = jnp.sum(jnp.maximum(cnt, 1).reshape(R, K, W), axis=1)
+    out_ref[...] = jnp.sum(jnp.maximum(cnt, 1), axis=1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "K", "window_size", "slide", "interpret"),
+    static_argnames=("k", "K", "window_size", "slide", "L", "interpret"),
 )
 def step2_signal_pallas(packed, invalid_bits, table, *, k: int, K: int,
-                        window_size: int, slide: int, interpret: bool = False):
-    """[B, L/4] packed + [B, L/8] mask -> y_int [B, W] int32 (the or-1
-    floored sum over k-mers per window)."""
-    B, Lq = packed.shape
-    L = Lq * 4
-    J = window_size - k
-    W = max(0, (L - window_size) // slide + 1)
+                        window_size: int, slide: int, L: int,
+                        interpret: bool = False):
+    """Phase-planar packed tails -> y_int [B, W] int32 (the or-1 floored
+    sum over k-mers per window).
+
+    `packed`/`invalid_bits` must come from io.batch.pack_tails_phase_planar
+    with the SAME (k, window_size, slide); `L` is the original padded
+    tail length the windows are defined over (W = (L-window)//slide+1,
+    matching the XLA path on the same padded batch).
+    """
+    B = packed.shape[0]
+    J, W, WB, nWB, n_outer, bq = phase_plane_geometry(L, k, window_size, slide)
     if W == 0 or J <= 0:
         return jnp.full((B, max(W, 0)), K, jnp.int32)
-    nb = W + (J + slide - 1) // slide + 1
+    Pb = bq * slide
+    if packed.shape[1] != nWB * (Pb // 4) or invalid_bits.shape[1] != nWB * (Pb // 8):
+        raise ValueError(
+            f"wire shapes {packed.shape}/{invalid_bits.shape} do not match "
+            f"phase-planar geometry for L={L} "
+            f"(expect [B,{nWB * (Pb // 4)}]/[B,{nWB * (Pb // 8)}])"
+        )
     R = _READS_PER_PROGRAM
     if B % R:
         raise ValueError(f"pallas step2 requires batch divisible by {R}")
 
     kernel = functools.partial(
-        _signal_kernel, k=k, K=K, window_size=window_size, slide=slide,
-        L=L, W=W, J=J, nb=nb,
+        _signal_kernel, k=k, K=K, slide=slide, J=J, WB=WB,
+        n_outer=n_outer, bq=bq,
     )
     # Trace the kernel in 32-bit mode: the kernel is pure int32/uint8,
     # and any x64-widened scalar would hit an infinite recursion in
     # Mosaic's 64-bit convert-element-type lowering.
     with jax.enable_x64(False):
-        return _call(kernel, packed, invalid_bits, table, B=B, Lq=Lq, L=L,
-                     W=W, K=K, interpret=interpret)
-
-
-def _call(kernel, packed, invalid_bits, table, *, B, Lq, L, W, K, interpret):
-    R = _READS_PER_PROGRAM
-    return pl.pallas_call(
-        kernel,
-        grid=(B // R,),
-        in_specs=[
-            pl.BlockSpec((R, Lq), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, L // 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, W), jnp.int32),
-        interpret=interpret,
-    )(packed, invalid_bits, table)
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // R, nWB),
+            in_specs=[
+                pl.BlockSpec((R, Pb // 4), lambda i, wb: (i, wb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, Pb // 8), lambda i, wb: (i, wb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K,), lambda i, wb: (0,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, WB), lambda i, wb: (i, wb),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, nWB * WB), jnp.int32),
+            interpret=interpret,
+        )(packed, invalid_bits, table)
+    return out[:, :W]
