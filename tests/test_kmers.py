@@ -45,6 +45,18 @@ def test_k_equals_pattern_length():
     assert all(len(s) == 7 for s in kmers)
 
 
+def test_k_exceeds_pattern_length():
+    # k > len(pattern): substrings come from the doubled pattern, so
+    # 8-mers of CCCTAAA are the 8-windows of CCCTAAACCCTAAA
+    doubled = "CCCTAAACCCTAAA"
+    want = sorted({doubled[i:i + 8] for i in range(len(doubled) - 7)})
+    comp = str.maketrans("ACGT", "TGCA")
+    got = telophrase_kmers("CCCTAAA", 8)
+    assert got == want + [s.translate(comp) for s in want]
+    # beyond 2*len no substrings exist
+    assert telophrase_kmers("CCCTAAA", 15) == []
+
+
 def test_multi_pattern_refused():
     with pytest.raises(ValueError):
         patterns_to_search("AACC|ACCG", 4)

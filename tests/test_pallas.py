@@ -1,10 +1,12 @@
 """Pallas fused step-2 kernel vs the XLA path (interpret mode on CPU).
 
-The kernel itself targets TPU; on this repo's CI (CPU backend) it runs
+The kernel targets TPU Mosaic; on this repo's CI (CPU backend) it runs
 through the Pallas interpreter, which checks the full lowering contract
-except Mosaic codegen.  Known Mosaic limitation on the axon toolchain:
-the unpack interleave reshape is an unsupported vector shape cast, so
-the kernel is experimental/opt-in there (see pallas_kernels.py docs).
+except Mosaic codegen.  The phase-planar wire format + kernel layout
+(ops/pallas_kernels.py) is the design that Mosaic can lower on the
+current toolchain — it compiles and runs on the real chip
+(benchmarks/profile_pallas.py); the chip-side XLA<->Pallas bit-identity
+check lives in the verify drive (.claude/skills/verify).
 """
 
 import numpy as np
@@ -15,7 +17,19 @@ import jax.numpy as jnp
 from topsicle_tpu import ops
 from topsicle_tpu.io import batch as batching
 from topsicle_tpu.kmers import pack_kmer_table, telophrase_kmers
+
+import topsicle_tpu.ops.pallas_kernels as pk
 from topsicle_tpu.ops.pallas_kernels import step2_signal_pallas
+
+
+def _xla_signal(tails: np.ndarray, table, k: int, window_size: int, slide: int):
+    B, L = tails.shape
+    p, m = batching.pack_batch(tails)
+    codes = ops.unpack_codes(jnp.asarray(p), jnp.asarray(m), L)
+    match = ops.match_positions(codes, table, k)
+    W = (L - window_size) // slide + 1
+    cnt = ops.window_nonoverlap_counts(match, k, window_size, slide, W)
+    return np.asarray(jnp.maximum(cnt, 1).sum(axis=1))
 
 
 @pytest.mark.parametrize("seed,L", [(0, 2048), (1, 4096)])
@@ -23,24 +37,84 @@ def test_pallas_signal_matches_xla(seed, L):
     rng = np.random.default_rng(seed)
     B = 8
     tails = rng.integers(0, 6, (B, L)).astype(np.uint8)  # incl. invalid
-    p, m = batching.pack_batch(tails)
     table = jnp.asarray(pack_kmer_table(telophrase_kmers("CCCTAAA", 5)))
 
+    p, m = batching.pack_tails_phase_planar(tails, 5, 100, 6)
     y = step2_signal_pallas(jnp.asarray(p), jnp.asarray(m), table,
-                            k=5, K=14, window_size=100, slide=6, interpret=True)
+                            k=5, K=14, window_size=100, slide=6, L=L,
+                            interpret=True)
 
-    codes = ops.unpack_codes(jnp.asarray(p), jnp.asarray(m), L)
-    match = ops.match_positions(codes, table, 5)
-    W = (L - 100) // 6 + 1
-    cnt = ops.window_nonoverlap_counts(match, 5, 100, 6, W)
-    y_ref = jnp.maximum(cnt, 1).sum(axis=1)
-    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+    y_ref = _xla_signal(tails, table, 5, 100, 6)
+    np.testing.assert_array_equal(np.asarray(y), y_ref)
+
+
+def test_pallas_signal_multi_block(monkeypatch):
+    """Exercise the multi-window-block grid path (nWB > 1) by shrinking
+    the block size; geometry + packer must agree via the shared
+    phase_plane_geometry."""
+    monkeypatch.setattr(pk, "_BLOCK_WINDOWS", 128)
+    rng = np.random.default_rng(7)
+    B, L = 8, 4096
+    k, w, slide = 5, 100, 6
+    tails = rng.integers(0, 6, (B, L)).astype(np.uint8)
+    table = jnp.asarray(pack_kmer_table(telophrase_kmers("CCCTAAA", k)))
+    _, W, WB, nWB, _, _ = pk.phase_plane_geometry(L, k, w, slide)
+    assert nWB > 1, "geometry must produce multiple window blocks"
+
+    p, m = batching.pack_tails_phase_planar(tails, k, w, slide)
+    y = step2_signal_pallas(jnp.asarray(p), jnp.asarray(m), table,
+                            k=k, K=14, window_size=w, slide=slide, L=L,
+                            interpret=True)
+    y_ref = _xla_signal(tails, table, k, w, slide)
+    np.testing.assert_array_equal(np.asarray(y), y_ref)
+
+
+def test_model_pallas_path_matches_xla():
+    """Production wiring: TelomereScanModel(use_pallas=True) must give
+    bit-identical (t, has) to the XLA path on ragged batches with
+    non-ACGT bases (interpret mode on CPU; Mosaic on chip is covered by
+    the verify drive)."""
+    from topsicle_tpu.models import TelomereScanModel
+    from topsicle_tpu.kmers import telophrase_kmers
+
+    rng = np.random.default_rng(3)
+    kmers = telophrase_kmers("CCCTAAA", 5)
+    m_pl = TelomereScanModel(kmers, window_size=100, slide=6, use_pallas=True)
+    m_xla = TelomereScanModel(kmers, window_size=100, slide=6, use_pallas=False)
+    assert m_pl.use_pallas and not m_xla.use_pallas
+
+    B, L = 8, 2048
+    codes = rng.integers(0, 5, (B, L)).astype(np.uint8)  # incl. some N
+    lens = rng.integers(150, L + 1, B).astype(np.int32)
+    for i in range(B):
+        codes[i, lens[i]:] = 0xFF
+    n_windows = batching.window_counts_for_lengths(lens, 100, 6)
+
+    t1, h1 = m_pl.step2_boundary(codes, n_windows, lens)
+    t2, h2 = m_xla.step2_boundary(codes, n_windows, lens)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(h1, h2)
+
+    # batches not divisible by 8 fall back to the XLA path transparently
+    t3, h3 = m_pl.step2_boundary(codes[:5], n_windows[:5], lens[:5])
+    np.testing.assert_array_equal(t3, t2[:5])
+    np.testing.assert_array_equal(h3, h2[:5])
 
 
 def test_pallas_batch_divisibility():
     table = jnp.asarray(pack_kmer_table(telophrase_kmers("CCCTAAA", 5)))
-    p = jnp.zeros((3, 512), jnp.uint8)
-    m = jnp.zeros((3, 256), jnp.uint8)
+    tails = np.zeros((3, 2048), np.uint8)
+    p, m = batching.pack_tails_phase_planar(tails, 5, 100, 6)
+    with pytest.raises(ValueError):
+        step2_signal_pallas(jnp.asarray(p), jnp.asarray(m), table,
+                            k=5, K=14, window_size=100, slide=6, L=2048,
+                            interpret=True)
+
+
+def test_pallas_wire_shape_mismatch():
+    table = jnp.asarray(pack_kmer_table(telophrase_kmers("CCCTAAA", 5)))
+    p = jnp.zeros((8, 512), jnp.uint8)
+    m = jnp.zeros((8, 256), jnp.uint8)
     with pytest.raises(ValueError):
         step2_signal_pallas(p, m, table, k=5, K=14, window_size=100,
-                            slide=6, interpret=True)
+                            slide=6, L=8192, interpret=True)

@@ -84,6 +84,32 @@ def test_jax_engine_matches_oracle_synthetic(tmp_path):
     assert got == want
 
 
+def test_jax_engine_k_exceeds_pattern_length(tmp_path):
+    """k > len(pattern) is legal: the reference cuts k-mers from the
+    DOUBLED pattern (allsteps.py:66-76), so 8-mers of a 7-bp repeat
+    exist.  Engine and oracle must agree byte-for-byte."""
+    rng = random.Random(21)
+    data = tmp_path / "s.fastq.gz"
+    _write_synthetic_fastq(str(data), rng, n_reads=16)
+    kw = dict(input_dir=str(data), pattern="CCCTAAA", telophrase=[8], slide=6)
+    JaxEngine(TopsicleConfig(output_dir=str(tmp_path / "j"), batch_size=8, **kw)).run()
+    OracleEngine(TopsicleConfig(output_dir=str(tmp_path / "o"), **kw)).run()
+    assert (tmp_path / "j" / "telolengths_all.csv").read_bytes() == \
+           (tmp_path / "o" / "telolengths_all.csv").read_bytes()
+
+
+def test_config_k_bounds():
+    base = dict(input_dir="x", output_dir="y", pattern="CCCTAAA")
+    TopsicleConfig(telophrase=[14], **base).validate()      # 2*len -> ok
+    with pytest.raises(ValueError):                         # > 2*len
+        TopsicleConfig(telophrase=[15], **base).validate()
+    with pytest.raises(ValueError):                         # device k cap
+        TopsicleConfig(pattern="CCCTAAACCCTAAA", telophrase=[16],
+                       input_dir="x", output_dir="y").validate()
+    with pytest.raises(ValueError):                         # k >= windowSize
+        TopsicleConfig(telophrase=[10], window_size=10, **base).validate()
+
+
 def test_jax_engine_multi_k(tmp_path):
     rng = random.Random(7)
     data = tmp_path / "s.fastq.gz"

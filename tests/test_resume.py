@@ -55,14 +55,39 @@ def test_resume_skips_completed_unit(tmp_path):
     cfg2 = TopsicleConfig(input_dir=str(d), output_dir=str(out),
                           pattern="CCCTAAA", slide=6, batch_size=8, resume=True)
     res2 = JaxEngine(cfg2).run()
-    # same row multiset afterwards
-    with open(out / "telolengths_all.csv", newline="") as fh:
-        rows2 = sorted(tuple(r) for r in csv.reader(fh))
-    import io
-
-    rows1 = sorted(tuple(r) for r in csv.reader(io.StringIO(csv1.decode())))
-    assert rows1 == rows2
+    # the resumed run's CSV is BYTE-identical to the uninterrupted one
+    # (kept rows re-emitted at their canonical phrase x file position)
+    assert (out / "telolengths_all.csv").read_bytes() == csv1
     assert len(res1) == len(res2)
+
+
+def test_resume_byte_identical_multi_k(tmp_path):
+    """Interrupt in the middle of a 2-k sweep; the resumed CSV must be
+    byte-identical to the uninterrupted run's, and the aggregates must
+    use full-precision TRCs from the manifest (not the 3-decimal CSV)."""
+    rng = random.Random(11)
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_file(str(d / "a.fastq.gz"), rng, 6)
+    _write_file(str(d / "b.fastq.gz"), rng, 6)
+    out = tmp_path / "out"
+    kw = dict(input_dir=str(d), output_dir=str(out), pattern="CCCTAAA",
+              telophrase=[4, 5], slide=6, batch_size=8)
+    res1 = JaxEngine(TopsicleConfig(**kw)).run()
+    csv1 = (out / "telolengths_all.csv").read_bytes()
+
+    # simulate a crash after (a, 4), (b, 4), (a, 5): drop (b, 5)
+    m = RunManifest(str(out))
+    key_b5 = [k for k in m._done if "b.fastq" in k and k.endswith("::5")]
+    assert key_b5
+    del m._done[key_b5[0]]
+    m.mark_done(str(d / "a.fastq.gz"), 4, m.rows_for(str(d / "a.fastq.gz"), 4),
+                trcs=m.trcs_for(str(d / "a.fastq.gz"), 4))
+
+    res2 = JaxEngine(TopsicleConfig(resume=True, **kw)).run()
+    assert (out / "telolengths_all.csv").read_bytes() == csv1
+    # full-precision TRCs recovered through the manifest
+    assert sorted(r.trc for r in res1) == sorted(r.trc for r in res2)
 
 
 def test_resume_fresh_output(tmp_path):

@@ -25,35 +25,35 @@ def build_parser() -> argparse.ArgumentParser:
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     p.add_argument("--inputDir", "-i", type=str, metavar="FILE/FOLDER", required=True,
-                   help="Required, Path to the input file or directory")
+                   help="FASTA/FASTQ input: one file or a directory tree (gzip OK)")
     p.add_argument("--outputDir", "-o", type=str, metavar="FOLDER", required=True,
-                   help="Required, Path to the output directory")
+                   help="Directory where the CSV, log, subset files, and plots go")
     p.add_argument("--pattern", metavar="CHAR", type=str, required=True,
-                   help="Required, Telomere repeat sequence (in 5' to 3' orientation). For e.g., in human use CCCTAA")
+                   help="Telomere repeat unit, written 5'->3' (A. thaliana: CCCTAAA; human: CCCTAA)")
     p.add_argument("--minSeqLength", metavar="INT", type=int, default=9000,
-                   help="Minimum length of a long read sequence that will be analyzed")
+                   help="Skip reads whose length is not strictly greater than this")
     p.add_argument("--rawcountpattern", action="store_true",
-                   help="Output raw count of the k-mer for each window")
+                   help="Also emit per-window, per-k-mer count tables (rawcount_{k}_{n}.csv)")
     p.add_argument("--telophrase", nargs="+", metavar="INT", type=int,
-                   help="Length of telomere k-mer to search. By default will use telomere k-mer length minus 2")
+                   help="k-mer size(s) to scan with; omitted => len(pattern) - 2")
     p.add_argument("--cutoff", nargs="+", metavar="FLOAT", type=float, default=0.7,
-                   help="TRC statistics threshold")
+                   help="TRC threshold(s); the minimum filters reads, the first anchors the quadratic fit")
     p.add_argument("--windowSize", metavar="INT", type=int, default=100,
-                   help="Sliding window size")
+                   help="Width (bp) of the step-2 scan window")
     p.add_argument("--slide", metavar="INT", type=int,
-                   help="Window sliding step. Default is telomere k-mer length")
+                   help="Distance between window starts; omitted => len(pattern)")
     p.add_argument("--trimfirst", metavar="INT", type=int, default=100,
-                   help="Length of intial number of base pairs to trim")
+                   help="Bases to drop from the telomeric end before the window scan")
     p.add_argument("--maxlengthtelo", metavar="INT", type=int, default=20000,
-                   help="Longest possible length of telomere for any given read")
+                   help="Cap (bp) on how far into each read the boundary search goes")
     p.add_argument("--plot", action="store_true",
-                   help="Optional, generate plot showing for each telomere read the abundance across the sequencing reead and the changepoint")
+                   help="Save a window-signal + changepoint figure for every passing read")
     p.add_argument("--rangecp", metavar="INT", type=int,
-                   help="Optional, set range of changepoint plot for visualization, default is maxlengthtelo")
+                   help="x-axis limit of the per-read changepoint figure (defaults to maxlengthtelo)")
     p.add_argument("--read_check", metavar="STR", type=str,
-                   help="Optional, get telomere of a specific read")
+                   help="Restrict step 2 to a single read ID (debugging aid)")
     p.add_argument("--override", "-ov", action="store_true",
-                   help="Override telolengths_all.csv file but keep subset fastq")
+                   help="Replace an existing non-empty telolengths_all.csv; subset files are reused")
     p.add_argument("--threads", "-t", metavar="INT", type=int, default=None,
                    help="Number of CPU cores to use for host-side IO (by default, all available cores)")
     # --- TPU runtime (no reference analog) ---

@@ -55,9 +55,9 @@ class TopsicleConfig:
     batch_size: int = 128        # reads per device step (global, pre-shard)
     length_bucket_quantum: int = 512   # scan lengths rounded up to this
     engine: str = "jax"          # "jax" (device path) or "oracle" (pure CPU)
-    mesh_shape: Optional[Sequence[int]] = None  # None => all local devices
-    donate_buffers: bool = True
-    use_pallas: Optional[bool] = None  # None => auto (on TPU backends)
+    # step-2 compute path: None => auto (fused Pallas kernel on TPU
+    # backends, XLA phase scan elsewhere) — models.telomere.resolve_use_pallas
+    use_pallas: Optional[bool] = None
     native_io: Optional[bool] = None   # None => auto (C++ loader if built)
     resume: bool = False         # skip (file, phrase) units completed per manifest
     trace_dir: Optional[str] = None    # jax.profiler trace output dir
@@ -123,9 +123,25 @@ class TopsicleConfig:
                 "telomere repeat (e.g. CCCTAAA)"
             )
         for k in self.telophrases():
-            if k > len(self.pattern):
+            # The reference cuts k-mers from the DOUBLED pattern
+            # (allsteps.py:66-76), so k may exceed len(pattern) — up to
+            # 2*len, beyond which no substrings exist and the reference
+            # would crash on an empty table.
+            if k > 2 * len(self.pattern):
                 raise ValueError(
-                    f"Cannot get {k}-bp cut from {len(self.pattern)}-bp pattern"
+                    f"Cannot get {k}-bp cut from the doubled "
+                    f"{len(self.pattern)}-bp pattern ({2 * len(self.pattern)} bp)"
                 )
             if k < 1:
                 raise ValueError(f"telophrase must be >= 1, got {k}")
+            if self.engine == "jax" and k > 15:
+                # device rolling codes are base-4 int32 (ops.match.MAX_ROLLING_K)
+                raise ValueError(
+                    f"telophrase {k} exceeds the device engine's k-mer "
+                    "capacity (15); use --engine oracle for longer k-mers"
+                )
+            if k >= self.window_size:
+                raise ValueError(
+                    f"telophrase {k} must be smaller than windowSize "
+                    f"{self.window_size} (no match fits a window otherwise)"
+                )

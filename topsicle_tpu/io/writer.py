@@ -71,6 +71,14 @@ def append_csv_row(path: str, file_lbl: str, phrase: int, trc: float,
         csv.writer(fh).writerow([file_lbl, phrase, f"{trc:.3f}", read_id, telo_length])
 
 
+def append_csv_row_raw(path: str, row: list) -> None:
+    """Append an already-formatted row (resume re-emits kept rows with
+    their original trc strings so a resumed run's CSV is byte-identical
+    to an uninterrupted one)."""
+    with open(path, "a", newline="") as fh:
+        csv.writer(fh).writerow(row)
+
+
 def write_record(fh: TextIO, rec: SeqRecord, fmt: str) -> None:
     if fmt == "fastq":
         qual = rec.qual if rec.qual is not None else "I" * len(rec.seq)

@@ -17,6 +17,7 @@ parallelism over the batch axis.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -108,6 +109,42 @@ def _step2_boundary_lean(tail_packed, lens, n_windows, table, *, k: int,
     return t, has
 
 
+def _step2_boundary_pallas(packed, invalid_bits, n_windows, table, *,
+                           k: int, K: int, window_size: int, slide: int,
+                           L: int, jump: int, min_size: int,
+                           interpret: bool = False):
+    """Fused Pallas step-2: phase-planar packed tails -> (t, has).
+
+    The window signal never round-trips HBM (ops/pallas_kernels.py);
+    only the tiny [B, W] y_int feeds the exact integer changepoint."""
+    from topsicle_tpu.ops.pallas_kernels import step2_signal_pallas
+
+    y_int = step2_signal_pallas(
+        packed, invalid_bits, table, k=k, K=K, window_size=window_size,
+        slide=slide, L=L, interpret=interpret,
+    )
+    return ops.binseg_l2_device(y_int, n_windows, jump=jump, min_size=min_size)
+
+
+def resolve_use_pallas(requested: bool | None = None) -> bool:
+    """Pick the step-2 compute path.  Priority: explicit argument >
+    TOPSICLE_USE_PALLAS env var > auto (True on TPU backends only).
+
+    On TPU the fused kernel keeps the [K, positions] match plane in VMEM
+    (no HBM round-trip) and is the fastest device-resident path; on CPU
+    backends it would run through the Pallas interpreter, which is far
+    slower than the XLA phase scan, so auto resolves False there."""
+    if requested is not None:
+        return bool(requested)
+    env = os.environ.get("TOPSICLE_USE_PALLAS")
+    if env is not None:
+        return env.strip().lower() not in ("", "0", "false", "no")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def resolve_window_strategy(requested: str | None = None) -> str:
     """Pick the step-2 window-scan strategy (see ops.match for the
     catalogue).  Priority: explicit argument > TOPSICLE_WINDOW_STRATEGY
@@ -142,7 +179,8 @@ class TelomereScanModel:
 
     def __init__(self, kmers: Sequence[str], *, window_size: int = 100,
                  slide: int = 7, jump: int = 5, min_size: int = 2,
-                 window_strategy: str | None = None):
+                 window_strategy: str | None = None,
+                 use_pallas: bool | None = None):
         if not kmers:
             raise ValueError("empty k-mer table")
         self.kmers = list(kmers)
@@ -153,6 +191,10 @@ class TelomereScanModel:
         self.jump = jump
         self.min_size = min_size
         self.window_strategy = resolve_window_strategy(window_strategy)
+        self.use_pallas = resolve_use_pallas(use_pallas)
+        # On non-TPU backends an explicitly requested Pallas path runs in
+        # interpret mode (correctness testing); Mosaic codegen is TPU-only.
+        self._pallas_interpret = jax.default_backend() != "tpu"
         self.table = jnp.asarray(pack_kmer_table(self.kmers))
 
         self._step1 = jax.jit(functools.partial(_step1_counts, k=self.k))
@@ -172,6 +214,19 @@ class TelomereScanModel:
                 _step2_signal, k=self.k, window_size=window_size, slide=slide,
                 strategy=self.window_strategy,
             )
+        )
+        self._step2_pallas = jax.jit(
+            functools.partial(
+                _step2_boundary_pallas,
+                k=self.k,
+                K=self.K,
+                window_size=window_size,
+                slide=slide,
+                jump=jump,
+                min_size=min_size,
+                interpret=self._pallas_interpret,
+            ),
+            static_argnames=("L",),
         )
         self._step1_lean = jax.jit(functools.partial(_step1_counts_lean, k=self.k))
         self._step2_lean = jax.jit(
@@ -219,6 +274,15 @@ class TelomereScanModel:
 
     def step2_boundary_launch(self, tail_codes: np.ndarray, n_windows: np.ndarray,
                               lens: np.ndarray | None = None):
+        if self.use_pallas and tail_codes.shape[0] % 8 == 0:
+            L = tail_codes.shape[1]
+            p, iv = batching.pack_tails_phase_planar(
+                tail_codes, self.k, self.window_size, self.slide
+            )
+            return self._step2_pallas(
+                jnp.asarray(p), jnp.asarray(iv), jnp.asarray(n_windows),
+                self.table, L=L,
+            )
         if lens is not None and _batch_is_clean(tail_codes, lens):
             p = batching.pack_codes(tail_codes)
             return self._step2_lean(

@@ -58,9 +58,11 @@ i1 vectors exist (4).  This mirrors the XLA phase-scan strategy
 VMEM, and the window-block grid keeps VMEM and compiled-body size
 CONSTANT in read length.
 
-VMEM per program at WB=1024: match planes slide x [8, K, ~1045] int32
-~ 2.8 MB, greedy carries 2 x [8, K, 1024] int32 ~ 1.8 MB, codes
-[8, ~6300] int32 ~ 0.2 MB.
+VMEM per program at the shipped WB=1920 (demo geometry k=5, K=14,
+slide=6): match planes slide x [8, K, WB+16] int32 ~ 5.2 MB, greedy
+carries 2 x [8, K, WB] int32 ~ 1.7 MB, unpacked codes [8, slide*bq
+~ 12288] int32 ~ 0.4 MB — ~7.4 MB total, comfortably inside a v5e
+core's VMEM.
 """
 
 from __future__ import annotations

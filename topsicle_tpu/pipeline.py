@@ -69,6 +69,7 @@ class JaxEngine:
                 kmers,
                 window_size=self.cfg.window_size,
                 slide=self.cfg.slide_value(),
+                use_pallas=self.cfg.use_pallas,
             )
             n_dev = len(jax.devices())
             if n_dev > 1:
@@ -471,8 +472,13 @@ class JaxEngine:
     def _prepare_resume(self, csv_path: str):
         """Load the manifest + existing CSV; keep rows belonging to
         completed (file, phrase) units, drop rows of interrupted units
-        (they will be recomputed).  Returns (manifest, kept_rows) where
-        kept_rows maps (label, phrase) -> [(read_id, trc_str, telo)]."""
+        (they will be recomputed).  Kept rows are NOT written here —
+        the run loop re-emits each unit's rows at its canonical position
+        in the phrase x file iteration, so a resumed run's CSV is
+        byte-identical to an uninterrupted run's (SURVEY.md §7.2.6
+        deterministic global ordering).  Returns (manifest, kept_rows)
+        where kept_rows maps (label, phrase) -> [(read_id, trc_str,
+        telo)] in original CSV order."""
         import csv as _csv
 
         from topsicle_tpu.utils import RunManifest
@@ -493,10 +499,6 @@ class JaxEngine:
                 if key in done_labels:
                     kept.setdefault(key, []).append((rid, trc, int(telo)))
         writer.write_csv_header(csv_path)
-        for (lbl, ph), rws in kept.items():
-            for rid, trc, telo in rws:
-                with open(csv_path, "a", newline="") as fh:
-                    _csv.writer(fh).writerow([lbl, ph, trc, rid, telo])
         return manifest, kept
 
     # -- full run ----------------------------------------------------------
@@ -542,7 +544,7 @@ class JaxEngine:
             manifest, kept_rows = self._prepare_resume(csv_path)
         elif (not dist or pid == 0) and os.path.exists(csv_path) and os.path.getsize(csv_path) > 0:
             if cfg.override:
-                self.log(f"Output file {csv_path} already exists and will be overridden becuz having --override flag.")
+                self.log(f"Output file {csv_path} already exists; overwriting it (--override given).")
                 os.remove(csv_path)
             else:
                 raise FileExistsError(
@@ -602,10 +604,21 @@ class JaxEngine:
                     lbl = writer.file_label(path)
                     if cfg.resume and manifest.is_done(path, phrase):
                         self.log(f"resume: skipping completed unit {path} (k={phrase})")
-                        for rid, trc, telo in kept_rows.get((lbl, phrase), []):
-                            results.append(ReadResult(lbl, phrase, rid, float(trc), telo))
+                        # re-emit the unit's kept rows HERE (canonical
+                        # position, original trc strings) so the final
+                        # CSV is byte-identical to an uninterrupted run;
+                        # pop so a second same-label file never re-writes
+                        unit_rows = kept_rows.pop((lbl, phrase), [])
+                        full_trcs = manifest.trcs_for(path, phrase)
+                        if full_trcs is not None and len(full_trcs) != len(unit_rows):
+                            full_trcs = None    # stale manifest payload
+                        for i, (rid, trc, telo) in enumerate(unit_rows):
+                            writer.append_csv_row_raw(
+                                csv_path, [lbl, phrase, trc, rid, telo])
+                            ftrc = full_trcs[i] if full_trcs is not None else float(trc)
+                            results.append(ReadResult(lbl, phrase, rid, ftrc, telo))
                             phrase_to_telo.setdefault(phrase, []).append(float(telo))
-                            phrase_to_trc.setdefault(phrase, []).append(float(trc))
+                            phrase_to_trc.setdefault(phrase, []).append(ftrc)
                         continue
 
                     src = sources.pop(path, None) or self._read_source(path)
@@ -641,6 +654,7 @@ class JaxEngine:
                     image_num = 1
                     n_rows = 0
                     part_rows: List[list] = []
+                    unit_trcs: List[float] = []
                     with timers.stage("step2"):
                         for group, bounds in self._step2_batches(passers, model):
                             for p, b in zip(group, bounds):
@@ -653,6 +667,7 @@ class JaxEngine:
                                 results.append(ReadResult(lbl, phrase, p.read_id, p.trc, b, p.kmer, p.tail))
                                 phrase_to_telo.setdefault(phrase, []).append(float(b))
                                 phrase_to_trc.setdefault(phrase, []).append(float(p.trc))
+                                unit_trcs.append(float(p.trc))
                                 timers.count(reads=1, bases=p.seq_len)
                                 n_rows += 1
                             self._per_read_extras(group, model, phrase, bounds, image_num)
@@ -664,7 +679,7 @@ class JaxEngine:
                             phrase_to_telo.get(phrase, [])[-n_rows:] if n_rows else [],
                         )
                     elif manifest is not None and cfg.read_check is None:
-                        manifest.mark_done(path, phrase, n_rows)
+                        manifest.mark_done(path, phrase, n_rows, trcs=unit_trcs)
                 finally:
                     # abandoned read-ahead sources (read_check abort, a
                     # raised error) must not leave workers blocked on

@@ -21,12 +21,18 @@ class RunManifest:
 
     def __init__(self, output_dir: str):
         self.path = os.path.join(output_dir, self.FILENAME)
-        self._done: Dict[str, int] = {}
+        # unit key -> {"n": row count, "trcs": [full-precision floats]}
+        # (older manifests stored a bare int; still readable)
+        self._done: Dict[str, dict] = {}
         if os.path.exists(self.path):
             try:
                 with open(self.path) as fh:
                     data = json.load(fh)
-                self._done = dict(data.get("completed", {}))
+                raw = dict(data.get("completed", {}))
+                self._done = {
+                    k: (v if isinstance(v, dict) else {"n": int(v)})
+                    for k, v in raw.items()
+                }
             except (json.JSONDecodeError, OSError):
                 self._done = {}
 
@@ -38,10 +44,25 @@ class RunManifest:
         return self._key(path, phrase) in self._done
 
     def rows_for(self, path: str, phrase: int) -> Optional[int]:
-        return self._done.get(self._key(path, phrase))
+        entry = self._done.get(self._key(path, phrase))
+        return None if entry is None else entry.get("n")
 
-    def mark_done(self, path: str, phrase: int, n_rows: int) -> None:
-        self._done[self._key(path, phrase)] = int(n_rows)
+    def trcs_for(self, path: str, phrase: int) -> Optional[List[float]]:
+        """Full-precision TRCs of a completed unit, in row order — the
+        CSV only carries 3 decimals, but the quadratic fit consumes full
+        precision, so resume must recover it to reproduce an
+        uninterrupted run's aggregates exactly."""
+        entry = self._done.get(self._key(path, phrase))
+        if entry is None or "trcs" not in entry:
+            return None
+        return [float(x) for x in entry["trcs"]]
+
+    def mark_done(self, path: str, phrase: int, n_rows: int,
+                  trcs: Optional[List[float]] = None) -> None:
+        entry: dict = {"n": int(n_rows)}
+        if trcs is not None:
+            entry["trcs"] = [repr(float(t)) for t in trcs]
+        self._done[self._key(path, phrase)] = entry
         tmp = self.path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"completed": self._done}, fh, indent=0)
