@@ -302,3 +302,48 @@ def test_lean_dispatch_rejects_exotic_batches(rng):
     t_l, h_l = model.step2_boundary(tcodes, nw, lens)   # falls back to dense
     np.testing.assert_array_equal(np.asarray(t_d), np.asarray(t_l))
     np.testing.assert_array_equal(np.asarray(h_d), np.asarray(h_l))
+
+
+def test_greedy_count_strategies_identical(rng):
+    """'chunked' (production default) and 'tree' greedy counters are
+    bit-identical across k values, odd lengths, and invalid bases —
+    including lengths below/at/just-above one chunk (64)."""
+    import jax.numpy as jnp
+    from topsicle_tpu.ops import (greedy_count_chunked, greedy_count_full,
+                                  match_positions)
+    from topsicle_tpu.kmers import pack_kmer_table, encode_ascii
+
+    for k, L in [(5, 37), (5, 64), (5, 65), (3, 200), (8, 999), (5, 1000)]:
+        kmers = telophrase_kmers("CCCTAAA", k)
+        table = jnp.asarray(pack_kmer_table(kmers))
+        rows = []
+        for _ in range(6):
+            s = _telomere_like(rng, "CCCTAAA", min(300, L), L)
+            rows.append([ord(c) for c in s])
+        codes = np.stack([encode_ascii(bytes(r)) for r in rows])
+        # sprinkle invalid bases
+        nprng = np.random.default_rng(k * 1000 + L)
+        codes[nprng.random(codes.shape) < 0.01] = 4
+        m = match_positions(jnp.asarray(codes), table, k)
+        a = np.asarray(greedy_count_chunked(m, k))
+        b = np.asarray(greedy_count_full(m, k))
+        np.testing.assert_array_equal(a, b, err_msg=f"k={k} L={L}")
+
+
+def test_greedy_count_oracle(rng):
+    """Chunked greedy counter == python re.finditer count."""
+    import re
+    import jax.numpy as jnp
+    from topsicle_tpu.ops import greedy_count_chunked, match_positions
+    from topsicle_tpu.kmers import pack_kmer_table, encode_ascii
+
+    kmers = telophrase_kmers("CCCTAAA", 5)
+    table = jnp.asarray(pack_kmer_table(kmers))
+    seqs = [_telomere_like(rng, "CCCTAAA", 400, 1000) for _ in range(8)]
+    codes = np.stack([encode_ascii(s.encode()) for s in seqs])
+    m = match_positions(jnp.asarray(codes), table, 5)
+    got = np.asarray(greedy_count_chunked(m, 5))
+    for i, s in enumerate(seqs):
+        for j, km in enumerate(kmers):
+            want = len(re.findall(re.escape(km), s.upper()))
+            assert got[i, j] == want, (i, km)

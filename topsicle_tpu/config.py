@@ -54,6 +54,13 @@ class TopsicleConfig:
     # --- TPU runtime section (no reference analog) ---
     batch_size: int = 128        # reads per device step (global, pre-shard)
     length_bucket_quantum: int = 512   # scan lengths rounded up to this
+    # Step-2 scan length: "static" compiles ONE device program with
+    # L = maxlengthtelo - trimfirst (rounded to the quantum) and pads
+    # every batch to it; "bucket" pads each batch to its own rounded max
+    # length (smaller transfers, but one device-program compile per
+    # bucket — remote TPU compile services charge seconds..minutes per
+    # new program, which dominated end-to-end time in round 1).
+    scan_length_mode: str = "static"
     engine: str = "jax"          # "jax" (device path) or "oracle" (pure CPU)
     # step-2 compute path: None => auto (fused Pallas kernel on TPU
     # backends, XLA phase scan elsewhere) — models.telomere.resolve_use_pallas
@@ -98,6 +105,16 @@ class TopsicleConfig:
         cs = _as_list(self.cutoff)
         return float(cs[0]) if cs else 0.7
 
+    def static_scan_length(self) -> Optional[int]:
+        """The single padded step-2 scan length in "static" mode (None in
+        "bucket" mode).  Tail slices are seq[trimfirst:min(maxlengthtelo,
+        len)], so maxlengthtelo - trimfirst always covers them."""
+        if self.scan_length_mode != "static":
+            return None
+        q = self.length_bucket_quantum
+        span = max(1, self.maxlengthtelo - self.trimfirst)
+        return max(q, -(-span // q) * q)
+
     def input_paths(self) -> List[str]:
         """Input file discovery: os.walk order, or the single file
         (main.py:224-229)."""
@@ -112,6 +129,11 @@ class TopsicleConfig:
     def validate(self) -> None:
         if not self.pattern:
             raise ValueError("pattern is required")
+        if self.scan_length_mode not in ("static", "bucket"):
+            raise ValueError(
+                f"scan_length_mode must be 'static' or 'bucket', "
+                f"got {self.scan_length_mode!r}"
+            )
         if "|" in self.pattern:
             # The reference's multi-pattern branch is broken (it returns a
             # single concatenated string whose *characters* are then used as

@@ -29,7 +29,8 @@ from topsicle_tpu.io import batch as batching
 from topsicle_tpu.kmers import pack_kmer_table
 
 
-def _step1_counts(ends_packed, ends_invalid, table, *, k: int):
+def _step1_counts(ends_packed, ends_invalid, table, *, k: int,
+                  greedy: str = "chunked"):
     """Packed [B, 2, no_bp/4] + mask [B, 2, no_bp/8] -> [B, 2, K] int32
     greedy counts.  Inputs use the 2-bit wire format (io.batch.pack_batch)
     to keep host->device traffic at 2.25 bits/base."""
@@ -40,7 +41,7 @@ def _step1_counts(ends_packed, ends_invalid, table, *, k: int):
         Lq * 4,
     )
     match = ops.match_positions(flat, table, k)
-    counts = ops.greedy_count_full(match, k)        # [B*2, K]
+    counts = ops.greedy_count(match, k, greedy)     # [B*2, K]
     return counts.reshape(B, two, -1)
 
 
@@ -77,7 +78,8 @@ def _step2_boundary(tail_packed, tail_invalid, n_windows, table, *, k: int,
 # with N/other characters use the dense-mask programs above.  Both paths
 # are bit-identical where both apply (tested). ---------------------------
 
-def _step1_counts_lean(ends_packed, ends_len, table, *, k: int):
+def _step1_counts_lean(ends_packed, ends_len, table, *, k: int,
+                       greedy: str = "chunked"):
     """Packed [B, 2, no_bp/4] + valid length [B] -> [B, 2, K] int32.
     Both end rows of a read share one valid length min(len, no_bp)
     (io.batch.extract_ends)."""
@@ -85,7 +87,7 @@ def _step1_counts_lean(ends_packed, ends_len, table, *, k: int):
     lens = jnp.broadcast_to(ends_len[:, None], (B, two)).reshape(B * two)
     flat = ops.unpack_codes_len(ends_packed.reshape(B * two, Lq), lens, Lq * 4)
     match = ops.match_positions(flat, table, k)
-    return ops.greedy_count_full(match, k).reshape(B, two, -1)
+    return ops.greedy_count(match, k, greedy).reshape(B, two, -1)
 
 
 def _step2_signal_lean(tail_packed, lens, table, *, k: int, window_size: int,
@@ -163,6 +165,17 @@ def resolve_window_strategy(requested: str | None = None) -> str:
     return s
 
 
+def resolve_greedy_strategy(requested: str | None = None) -> str:
+    """Pick the step-1 greedy-count strategy (ops.match.greedy_count).
+    Priority: explicit argument > TOPSICLE_GREEDY_STRATEGY env var >
+    'chunked' (the shape remote TPU compile services handle in seconds;
+    'tree' is the log-depth alternative, bit-identical)."""
+    s = requested or os.environ.get("TOPSICLE_GREEDY_STRATEGY") or "chunked"
+    if s not in ("chunked", "tree"):
+        raise ValueError(f"unknown greedy strategy {s!r}")
+    return s
+
+
 def _batch_is_clean(codes: np.ndarray, lens: np.ndarray) -> bool:
     """True iff every row's valid prefix is pure ACGT (codes < 4).
 
@@ -180,7 +193,8 @@ class TelomereScanModel:
     def __init__(self, kmers: Sequence[str], *, window_size: int = 100,
                  slide: int = 7, jump: int = 5, min_size: int = 2,
                  window_strategy: str | None = None,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 greedy_strategy: str | None = None):
         if not kmers:
             raise ValueError("empty k-mer table")
         self.kmers = list(kmers)
@@ -191,13 +205,15 @@ class TelomereScanModel:
         self.jump = jump
         self.min_size = min_size
         self.window_strategy = resolve_window_strategy(window_strategy)
+        self.greedy_strategy = resolve_greedy_strategy(greedy_strategy)
         self.use_pallas = resolve_use_pallas(use_pallas)
         # On non-TPU backends an explicitly requested Pallas path runs in
         # interpret mode (correctness testing); Mosaic codegen is TPU-only.
         self._pallas_interpret = jax.default_backend() != "tpu"
         self.table = jnp.asarray(pack_kmer_table(self.kmers))
 
-        self._step1 = jax.jit(functools.partial(_step1_counts, k=self.k))
+        self._step1 = jax.jit(functools.partial(
+            _step1_counts, k=self.k, greedy=self.greedy_strategy))
         self._step2 = jax.jit(
             functools.partial(
                 _step2_boundary,
@@ -228,7 +244,8 @@ class TelomereScanModel:
             ),
             static_argnames=("L",),
         )
-        self._step1_lean = jax.jit(functools.partial(_step1_counts_lean, k=self.k))
+        self._step1_lean = jax.jit(functools.partial(
+            _step1_counts_lean, k=self.k, greedy=self.greedy_strategy))
         self._step2_lean = jax.jit(
             functools.partial(
                 _step2_boundary_lean,

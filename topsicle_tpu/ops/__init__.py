@@ -12,6 +12,8 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 from topsicle_tpu.ops.match import (  # noqa: F401,E402
+    greedy_count,
+    greedy_count_chunked,
     greedy_count_full,
     match_positions,
     next_match_table,

@@ -111,6 +111,71 @@ def next_match_table(match: jax.Array) -> jax.Array:
     return jnp.concatenate([nxt, pad], axis=-1)
 
 
+def greedy_count(match: jax.Array, k: int, strategy: str | None = None) -> jax.Array:
+    """Greedy non-overlapping match count per [B, K] row — dispatcher
+    over the two bit-identical strategies (property-tested equal):
+
+    - "chunked" (default): lax.scan over ceil(Lp/64) blocks whose body
+      unrolls 64 per-position phase updates.  Chosen because remote TPU
+      toolchains (the axon compile service) take **minutes** to compile
+      both the log-depth tree below and a naive Lp-step scan, but
+      compile this 16-step/fat-body shape in seconds — same structure
+      as the step-2 phase scan, which also compiles fast.  Measured on
+      TPU v5e: first call 7s vs 60-330s for the alternatives; steady
+      state equal within noise (step 1 is tiny either way).
+    - "tree": the log-depth composition tree (greedy_count_full) —
+      fewest dependent steps, kept for toolchains/backends where it
+      compiles quickly (CPU tests use it to cross-check the chunked
+      path).
+
+    Resolution: explicit argument > TOPSICLE_GREEDY_STRATEGY env var >
+    "chunked".
+    """
+    import os
+
+    s = strategy or os.environ.get("TOPSICLE_GREEDY_STRATEGY") or "chunked"
+    if s == "chunked":
+        return greedy_count_chunked(match, k)
+    if s == "tree":
+        return greedy_count_full(match, k)
+    raise ValueError(f"unknown greedy strategy {s!r}")
+
+
+def greedy_count_chunked(match: jax.Array, k: int, chunk: int = 64) -> jax.Array:
+    """Greedy non-overlapping count via a chunked sequential scan.
+
+    The greedy carry before position p is d = number of still-blocked
+    positions (0 = free; k-1 right after a take).  A lax.scan walks
+    ceil(Lp/chunk) position blocks; the body unrolls `chunk` updates
+
+        take = match[p] & (d == 0)
+        d    = take ? k-1 : max(d-1, 0);  count += take
+
+    on the [B, K] carry.  Semantics: `len(list(re.finditer(kmer, s)))`
+    (allsteps.py:182-183), exactly as greedy_count_full."""
+    Lp = match.shape[-1]
+    n = -(-Lp // chunk)
+    pad = n * chunk - Lp
+    mp = jnp.pad(match, [(0, 0)] * (match.ndim - 1) + [(0, pad)]) if pad else match
+    # [n, ..., chunk]: scan axis leading, positions within a chunk minor
+    xs = jnp.moveaxis(mp.reshape(*match.shape[:-1], n, chunk), -2, 0)
+    # carry derived from the data so it inherits sharding/varyingness
+    # under shard_map (a plain zeros constant trips the vma checker)
+    d0 = (xs[0, ..., 0] * 0).astype(jnp.int32)
+    c0 = d0
+
+    def body(carry, mc):
+        d, c = carry
+        for j in range(chunk):
+            take = mc[..., j] & (d == 0)
+            d = jnp.where(take, k - 1, jnp.maximum(d - 1, 0))
+            c = c + take.astype(jnp.int32)
+        return (d, c), None
+
+    (_, c), _ = jax.lax.scan(body, (d0, c0), xs)
+    return c
+
+
 def greedy_count_full(match: jax.Array, k: int) -> jax.Array:
     """Greedy non-overlapping match count over the whole position axis,
     per [B, K] row — `len(list(re.finditer(kmer, s)))` semantics.

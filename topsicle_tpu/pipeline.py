@@ -79,8 +79,37 @@ class JaxEngine:
                 if self.cfg.batch_size % n_dev:
                     self.cfg.batch_size += n_dev - self.cfg.batch_size % n_dev
                 model = ShardedScanModel(model, mesh=data_mesh(n_dev))
+            self._warmup(model)
             self._models[phrase] = model
         return self._models[phrase]
+
+    def _warmup(self, model) -> None:
+        """Dispatch dummy production-shaped batches through both device
+        stages, asynchronously (no result sync).  Remote TPU toolchains
+        (e.g. a tunneled compile service) charge seconds..minutes per
+        new program at its first execution; dispatching at model
+        creation lets that cost overlap host parsing and the other
+        stage's compile instead of stalling the first real batch.
+        Failures are ignored — the real launch surfaces them."""
+        cfg = self.cfg
+        B = cfg.batch_size
+        try:
+            ends = np.zeros((B, 2, cfg.no_bp), np.uint8)     # all-'A', clean
+            ends_len = np.full(B, cfg.no_bp, np.int32)
+            futs = [model.step1_counts_launch(ends, ends_len)]
+            L = cfg.static_scan_length()
+            if L is not None:
+                tails = np.zeros((B, L), np.uint8)
+                lens = np.full(B, L, np.int32)
+                nw = batching.window_counts_for_lengths(
+                    lens, cfg.window_size, cfg.slide_value())
+                futs.append(model.step2_boundary_launch(tails, nw, lens))
+            # hold references so the dispatched computations aren't
+            # dropped; the run's own batches queue behind them, so no
+            # explicit sync is ever needed
+            self._warm_futs = futs
+        except Exception:
+            pass
 
     # -- step 1 ------------------------------------------------------------
     def _select_hits(self, counts: np.ndarray, kmers: Sequence[str], cutoff: float
@@ -242,9 +271,13 @@ class JaxEngine:
         depth = 2
 
         def launch(group):
-            max_len = max(len(p.tail_codes) for p in group)
+            # "static" scan mode pads every batch to one L so the whole
+            # run uses ONE compiled step-2 program (remote TPU compile
+            # services charge seconds..minutes per new program shape)
+            pad_len = cfg.static_scan_length() or max(
+                len(p.tail_codes) for p in group)
             codes, lens = batching.tails_batch(
-                [p.tail_codes for p in group], max_len, cfg.length_bucket_quantum
+                [p.tail_codes for p in group], pad_len, cfg.length_bucket_quantum
             )
             if len(group) < B:
                 pad = np.full((B - len(group), codes.shape[1]), 0xFF, np.uint8)
@@ -281,9 +314,9 @@ class JaxEngine:
         if not (cfg.plot or cfg.rawcountpattern):
             return
         B = cfg.batch_size
-        max_len = max(len(p.tail_codes) for p in group)
+        pad_len = cfg.static_scan_length() or max(len(p.tail_codes) for p in group)
         codes, lens = batching.tails_batch(
-            [p.tail_codes for p in group], max_len, cfg.length_bucket_quantum
+            [p.tail_codes for p in group], pad_len, cfg.length_bucket_quantum
         )
         if len(group) < B:
             pad = np.full((B - len(group), codes.shape[1]), 0xFF, np.uint8)
