@@ -192,3 +192,31 @@ def test_cli_override_guard(demo_fastq, tmp_path):
     assert main(args) == 0
     assert main(args) == 1           # refuses without --override
     assert main(args + ["--override"]) == 0
+
+
+@requires_demo
+def test_global_mode_extras_match_files_mode(tmp_path, demo_fastq):
+    """--rawcountpattern and --plot now work in shardMode=global and
+    produce the same artifacts as files mode (same names, same bytes for
+    the rawcount CSVs)."""
+    import filecmp
+
+    from topsicle_tpu.config import TopsicleConfig
+    from topsicle_tpu.pipeline import JaxEngine
+
+    outs = {}
+    for mode in ("files", "global"):
+        out = tmp_path / mode
+        cfg = TopsicleConfig(
+            input_dir=demo_fastq, output_dir=str(out), pattern="CCCTAAA",
+            slide=6, batch_size=8, shard_mode=mode, rawcountpattern=True)
+        JaxEngine(cfg).run()
+        outs[mode] = out
+    a = sorted(p.name for p in outs["files"].glob("rawcount_*.csv"))
+    b = sorted(p.name for p in outs["global"].glob("rawcount_*.csv"))
+    assert a and a == b
+    for name in a:
+        assert filecmp.cmp(outs["files"] / name, outs["global"] / name,
+                           shallow=False), name
+    assert (outs["files"] / "telolengths_all.csv").read_bytes() == \
+        (outs["global"] / "telolengths_all.csv").read_bytes()

@@ -116,3 +116,39 @@ def test_stage_timers_summary():
     t.count(reads=3, bases=3000)
     s = t.summary()
     assert "x=" in s and "3 reads" in s
+
+
+def test_global_mode_resume_byte_identical(tmp_path):
+    """--resume in shardMode=global: interrupted+resumed CSV equals an
+    uninterrupted run's, byte for byte (kept units re-emitted at their
+    canonical file position; recomputed units re-run on the mesh)."""
+    rng = random.Random(11)
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_file(str(d / "a.fastq.gz"), rng, 6)
+    _write_file(str(d / "b.fastq.gz"), rng, 6)
+    out = tmp_path / "out"
+    cfg = TopsicleConfig(input_dir=str(d), output_dir=str(out),
+                         pattern="CCCTAAA", slide=6, batch_size=8,
+                         shard_mode="global")
+    JaxEngine(cfg).run()
+    csv1 = (out / "telolengths_all.csv").read_bytes()
+    log1 = [l for l in (out / "topsicle_run.log").read_text().splitlines()
+            if "median telomere" in l or "recommended" in l]
+
+    m = RunManifest(str(out))
+    key_b = [k for k in m._done if "b.fastq" in k]
+    assert key_b, "global mode must mark units done for resume"
+    del m._done[key_b[0]]
+    m.mark_done(str(d / "a.fastq.gz"), 5, m.rows_for(str(d / "a.fastq.gz"), 5))
+
+    cfg2 = TopsicleConfig(input_dir=str(d), output_dir=str(out),
+                          pattern="CCCTAAA", slide=6, batch_size=8,
+                          shard_mode="global", resume=True)
+    JaxEngine(cfg2).run()
+    assert (out / "telolengths_all.csv").read_bytes() == csv1
+    log2 = [l for l in (out / "topsicle_run.log").read_text().splitlines()
+            if "median telomere" in l or "recommended" in l]
+    # aggregate lines recomputed identically (same values, order)
+    assert [l.split("]")[1] for l in log2[-len(log1):]] == \
+        [l.split("]")[1] for l in log1]

@@ -368,8 +368,10 @@ class JaxEngine:
         process keeps rows for reads it contributed.  Lockstep is held by
         a per-batch OR-allgathered control word (has-data, needs-dense) —
         hosts whose streams run dry keep feeding empty shards until every
-        stream is dry.  Returns {file_idx: (label, [row, ...])} for this
-        process plus the aggregate lists."""
+        stream is dry.  Per-read extras (--plot / --rawcountpattern) run
+        locally per owned file, numbered in row order like files mode.
+        Returns {file_idx: (label, [row, ...], [trc, ...], [telo, ...])}
+        for this process, rows in input-read order per file."""
         import jax
 
         from topsicle_tpu.models.telomere import TelomereScanModel, _batch_is_clean
@@ -455,8 +457,8 @@ class JaxEngine:
 
         # ---- step 2, lockstep global batches -----------------------------
         rows: Dict[int, tuple] = {}   # file_idx -> (label, rows, trcs, telos)
-        trcs: List[float] = []
-        telos: List[float] = []
+        extras: Dict[int, list] = {}  # file_idx -> [(passer, bound), ...]
+        want_extras = cfg.plot or cfg.rawcountpattern
         pos = 0
         while True:
             group = passers[pos : pos + B_local]
@@ -496,10 +498,46 @@ class JaxEngine:
                 entry[1].append([lbl, phrase, f"{p.trc:.3f}", p.read_id, b])
                 entry[2].append(float(p.trc))      # full precision for quadfit
                 entry[3].append(float(b))
-                trcs.append(float(p.trc))
-                telos.append(float(b))
+                if want_extras:
+                    extras.setdefault(file_idx, []).append((p, b))
                 timers.count(reads=1, bases=p.seq_len)
-        return rows, trcs, telos
+
+        # per-read extras on this process's own files: chunked like files
+        # mode (image numbers 1..n per file, row order)
+        if want_extras:
+            Bc = cfg.batch_size
+            for file_idx in sorted(extras):
+                pairs = extras[file_idx]
+                image_num = 1
+                for s in range(0, len(pairs), Bc):
+                    chunk = pairs[s : s + Bc]
+                    self._per_read_extras(
+                        [p for p, _ in chunk], base, phrase,
+                        [b for _, b in chunk], image_num)
+                    image_num += len(chunk)
+        return rows
+
+    def _emit_kept_unit(self, csv_path: str, lbl: str, phrase: int, path: str,
+                        manifest, kept_rows: Dict[tuple, List[tuple]],
+                        results: List[ReadResult],
+                        phrase_to_telo: Dict[int, List[float]],
+                        phrase_to_trc: Dict[int, List[float]]) -> None:
+        """Re-emit a resume-completed unit's rows at its canonical
+        phrase x file position (original trc strings, full-precision
+        manifest TRCs for the aggregates) so a resumed run's CSV and
+        aggregate lists are byte-identical to an uninterrupted run's.
+        Pops the unit from kept_rows so a second same-label file never
+        re-writes it."""
+        unit_rows = kept_rows.pop((lbl, phrase), [])
+        full_trcs = manifest.trcs_for(path, phrase)
+        if full_trcs is not None and len(full_trcs) != len(unit_rows):
+            full_trcs = None    # stale manifest payload
+        for i, (rid, trc, telo) in enumerate(unit_rows):
+            writer.append_csv_row_raw(csv_path, [lbl, phrase, trc, rid, telo])
+            ftrc = full_trcs[i] if full_trcs is not None else float(trc)
+            results.append(ReadResult(lbl, phrase, rid, ftrc, telo))
+            phrase_to_telo.setdefault(phrase, []).append(float(telo))
+            phrase_to_trc.setdefault(phrase, []).append(ftrc)
 
     # -- resume support ----------------------------------------------------
     def _prepare_resume(self, csv_path: str):
@@ -551,10 +589,13 @@ class JaxEngine:
         if dist and (cfg.resume or cfg.read_check is not None):
             raise ValueError("distributed runs do not support resume or read_check")
         if cfg.shard_mode == "global":
-            if cfg.resume or cfg.read_check is not None or cfg.rawcountpattern or cfg.plot:
+            if cfg.read_check is not None:
+                # read_check is a single-read debug path; spinning up a
+                # lockstep global mesh across hosts for one read is never
+                # what the user wants — files mode covers it.
                 raise ValueError(
-                    "shardMode=global does not support resume, read_check, "
-                    "rawcountpattern, or plot (use shardMode=files)"
+                    "shardMode=global does not support read_check "
+                    "(use shardMode=files)"
                 )
             if dist:
                 import jax
@@ -604,10 +645,24 @@ class JaxEngine:
                 self.log("patterns to search:", kmers)
                 if cfg.shard_mode == "global":
                     self.log("begin processing reads (global mesh)")
-                    rows_by_file, g_trcs, g_telos = self._run_phrase_global(
-                        phrase, kmers, local_files, timers)
-                    for file_idx in sorted(rows_by_file):
-                        lbl, rws, f_trcs, f_telos = rows_by_file[file_idx]
+                    todo = local_files
+                    if cfg.resume:
+                        todo = [(i, p) for i, p in local_files
+                                if not manifest.is_done(p, phrase)]
+                    rows_by_file = self._run_phrase_global(
+                        phrase, kmers, todo, timers)
+                    # canonical file-index order: resume-completed units
+                    # re-emit kept rows, computed units write + mark done
+                    for file_idx, path in local_files:
+                        lbl = writer.file_label(path)
+                        if cfg.resume and manifest.is_done(path, phrase):
+                            self.log(f"resume: skipping completed unit {path} (k={phrase})")
+                            self._emit_kept_unit(csv_path, lbl, phrase, path,
+                                                 manifest, kept_rows, results,
+                                                 phrase_to_telo, phrase_to_trc)
+                            continue
+                        _, rws, f_trcs, f_telos = rows_by_file.get(
+                            file_idx, (lbl, [], [], []))
                         if dist:
                             dist_mod.write_part(cfg.output_dir, phrase,
                                                 file_idx, rws, f_trcs, f_telos)
@@ -617,8 +672,10 @@ class JaxEngine:
                                     csv_path, r[0], r[1], float(r[2]), r[3], r[4])
                         for r, ft in zip(rws, f_trcs):
                             results.append(ReadResult(lbl, phrase, r[3], ft, r[4]))
-                    phrase_to_trc.setdefault(phrase, []).extend(g_trcs)
-                    phrase_to_telo.setdefault(phrase, []).extend(g_telos)
+                        phrase_to_trc.setdefault(phrase, []).extend(f_trcs)
+                        phrase_to_telo.setdefault(phrase, []).extend(f_telos)
+                        if manifest is not None and not dist and cfg.read_check is None:
+                            manifest.mark_done(path, phrase, len(rws), trcs=f_trcs)
                     continue
 
                 model = self._model(phrase, kmers)
@@ -637,21 +694,9 @@ class JaxEngine:
                     lbl = writer.file_label(path)
                     if cfg.resume and manifest.is_done(path, phrase):
                         self.log(f"resume: skipping completed unit {path} (k={phrase})")
-                        # re-emit the unit's kept rows HERE (canonical
-                        # position, original trc strings) so the final
-                        # CSV is byte-identical to an uninterrupted run;
-                        # pop so a second same-label file never re-writes
-                        unit_rows = kept_rows.pop((lbl, phrase), [])
-                        full_trcs = manifest.trcs_for(path, phrase)
-                        if full_trcs is not None and len(full_trcs) != len(unit_rows):
-                            full_trcs = None    # stale manifest payload
-                        for i, (rid, trc, telo) in enumerate(unit_rows):
-                            writer.append_csv_row_raw(
-                                csv_path, [lbl, phrase, trc, rid, telo])
-                            ftrc = full_trcs[i] if full_trcs is not None else float(trc)
-                            results.append(ReadResult(lbl, phrase, rid, ftrc, telo))
-                            phrase_to_telo.setdefault(phrase, []).append(float(telo))
-                            phrase_to_trc.setdefault(phrase, []).append(ftrc)
+                        self._emit_kept_unit(csv_path, lbl, phrase, path,
+                                             manifest, kept_rows, results,
+                                             phrase_to_telo, phrase_to_trc)
                         continue
 
                     src = sources.pop(path, None) or self._read_source(path)
