@@ -51,12 +51,18 @@ def main():
             t, h = model.step2_boundary_launch(tails, nw, lens)
             return c, t, h
 
-        jax.block_until_ready(launch())          # compile
+        def sync(outs):
+            # device->host copies: the only sync some backends honor
+            # (jax.block_until_ready is a no-op on the axon tunnel)
+            for o in outs:
+                np.asarray(o[1])
+
+        sync([launch()])                         # compile
         best = None
         for rep in range(3):
             t0 = time.perf_counter()
             outs = [launch() for _ in range(8)]
-            jax.block_until_ready(outs)
+            sync(outs)
             dt = (time.perf_counter() - t0) / 8
             best = dt if best is None else min(best, dt)
         t1 = best if n == 1 else t1
