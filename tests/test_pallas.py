@@ -118,3 +118,71 @@ def test_pallas_wire_shape_mismatch():
     with pytest.raises(ValueError):
         step2_signal_pallas(p, m, table, k=5, K=14, window_size=100,
                             slide=6, L=8192, interpret=True)
+
+
+@pytest.mark.parametrize("seed,L", [(0, 2048), (3, 4096)])
+def test_pallas_lean_matches_dense(seed, L):
+    """Lean wire (2 bits/base + lengths) == dense phase-planar wire on
+    clean batches with ragged suffix padding."""
+    from topsicle_tpu.ops.pallas_kernels import step2_signal_pallas_lean
+
+    rng = np.random.default_rng(seed)
+    B = 8
+    k, w, slide = 5, 100, 6
+    lens = rng.integers(300, L + 1, B).astype(np.int32)
+    tails = np.full((B, L), 0xFF, np.uint8)
+    for i in range(B):
+        tails[i, : lens[i]] = rng.integers(0, 4, lens[i])
+    table = jnp.asarray(pack_kmer_table(telophrase_kmers("CCCTAAA", k)))
+
+    p, m = batching.pack_tails_phase_planar(tails, k, w, slide)
+    y_dense = step2_signal_pallas(jnp.asarray(p), jnp.asarray(m), table,
+                                  k=k, K=14, window_size=w, slide=slide,
+                                  L=L, interpret=True)
+    pl_ = batching.pack_tails_phase_planar_lean(tails, k, w, slide)
+    y_lean = step2_signal_pallas_lean(
+        jnp.asarray(pl_), jnp.asarray(lens.reshape(-1, 1)), table,
+        k=k, K=14, window_size=w, slide=slide, L=L, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y_lean), np.asarray(y_dense))
+    np.testing.assert_array_equal(np.asarray(y_lean), _xla_signal(tails, table, k, w, slide))
+
+
+def test_pallas_lean_multi_block(monkeypatch):
+    """Lean wire on the multi-window-block grid: per-block position
+    iota (base0 = wb*WB*slide) must line up with the packer."""
+    from topsicle_tpu.ops.pallas_kernels import step2_signal_pallas_lean
+
+    monkeypatch.setattr(pk, "_BLOCK_WINDOWS", 128)
+    rng = np.random.default_rng(9)
+    B, L = 8, 4096
+    k, w, slide = 5, 100, 6
+    lens = rng.integers(1000, L + 1, B).astype(np.int32)
+    tails = np.full((B, L), 0xFF, np.uint8)
+    for i in range(B):
+        tails[i, : lens[i]] = rng.integers(0, 4, lens[i])
+    table = jnp.asarray(pack_kmer_table(telophrase_kmers("CCCTAAA", k)))
+    pl_ = batching.pack_tails_phase_planar_lean(tails, k, w, slide)
+    y = step2_signal_pallas_lean(
+        jnp.asarray(pl_), jnp.asarray(lens.reshape(-1, 1)), table,
+        k=k, K=14, window_size=w, slide=slide, L=L, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y), _xla_signal(tails, table, k, w, slide))
+
+
+def test_model_dispatches_lean_pallas():
+    """TelomereScanModel with use_pallas picks the lean wire for clean
+    batches and the dense wire when a read carries N — identical t/has."""
+    from topsicle_tpu.models import TelomereScanModel
+
+    rng = np.random.default_rng(4)
+    B, L = 8, 2048
+    model = TelomereScanModel(telophrase_kmers("CCCTAAA", 5),
+                              window_size=100, slide=6, use_pallas=True)
+    lens = rng.integers(500, L + 1, B).astype(np.int32)
+    tails = np.full((B, L), 0xFF, np.uint8)
+    for i in range(B):
+        tails[i, : lens[i]] = rng.integers(0, 4, lens[i])
+    nw = batching.window_counts_for_lengths(lens, 100, 6)
+    t_clean, has_clean = model.step2_boundary(tails, nw, lens)   # lean path
+    t_noL, has_noL = model.step2_boundary(tails, nw, None)       # dense path
+    np.testing.assert_array_equal(t_clean, t_noL)
+    np.testing.assert_array_equal(has_clean, has_noL)

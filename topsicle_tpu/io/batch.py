@@ -162,6 +162,36 @@ def pack_tails_phase_planar(codes: np.ndarray, k: int, window_size: int,
     return p.reshape(B, -1), iv.reshape(B, -1)
 
 
+def pack_tails_phase_planar_lean(codes: np.ndarray, k: int, window_size: int,
+                                 slide: int) -> np.ndarray:
+    """Lean phase-planar wire: like pack_tails_phase_planar but WITHOUT
+    the invalid-bit plane — 2 bits/base on the wire (1.5x less traffic).
+    Valid only for clean (pure-ACGT) batches; the kernel reconstructs
+    suffix invalidity from per-read lengths
+    (ops.pallas_kernels.step2_signal_pallas_lean).  Returns packed
+    [B, nWB*Pb/4] uint8."""
+    from topsicle_tpu.ops.pallas_kernels import phase_plane_geometry
+
+    B, L = codes.shape
+    _, W, WB, nWB, _, bq = phase_plane_geometry(L, k, window_size, slide)
+    if W == 0:
+        return np.zeros((B, 0), np.uint8)
+    nq_full = WB * (nWB - 1) + bq
+    P_full = nq_full * slide
+    padded = np.pad(codes, ((0, 0), (0, max(0, P_full - L))),
+                    constant_values=PAD_BYTE)[:, :P_full]
+    planes = np.ascontiguousarray(
+        padded.reshape(B, nq_full, slide).transpose(0, 2, 1)
+    )                                       # [B, slide, nq_full]
+    seg = np.empty((B, nWB, slide, bq), np.uint8)
+    for wb in range(nWB):
+        seg[:, wb] = planes[:, :, wb * WB : wb * WB + bq]
+    flat = seg.reshape(B * nWB, slide * bq)
+    bits = (flat & 3).astype(np.uint8).reshape(B * nWB, 4, (slide * bq) // 4)
+    p = bits[:, 0] | (bits[:, 1] << 2) | (bits[:, 2] << 4) | (bits[:, 3] << 6)
+    return p.reshape(B, -1)
+
+
 def pack_codes(codes: np.ndarray) -> np.ndarray:
     """Lean wire format: [B, L] uint8 codes -> packed [B, ceil(L/4)]
     uint8, 2 bits/base with NO invalid-mask plane.  Valid only for

@@ -128,6 +128,22 @@ def _step2_boundary_pallas(packed, invalid_bits, n_windows, table, *,
     return ops.binseg_l2_device(y_int, n_windows, jump=jump, min_size=min_size)
 
 
+def _step2_boundary_pallas_lean(packed, lengths, n_windows, table, *,
+                                k: int, K: int, window_size: int, slide: int,
+                                L: int, jump: int, min_size: int,
+                                interpret: bool = False):
+    """Lean-wire fused Pallas step-2 (2 bits/base, no invalid plane):
+    the default for clean (pure-ACGT) batches — 1.5x less tunnel/PCIe
+    traffic on the pipeline's dominant transfer."""
+    from topsicle_tpu.ops.pallas_kernels import step2_signal_pallas_lean
+
+    y_int = step2_signal_pallas_lean(
+        packed, lengths, table, k=k, K=K, window_size=window_size,
+        slide=slide, L=L, interpret=interpret,
+    )
+    return ops.binseg_l2_device(y_int, n_windows, jump=jump, min_size=min_size)
+
+
 def resolve_use_pallas(requested: bool | None = None) -> bool:
     """Pick the step-2 compute path.  Priority: explicit argument >
     TOPSICLE_USE_PALLAS env var > auto (True on TPU backends only).
@@ -244,6 +260,19 @@ class TelomereScanModel:
             ),
             static_argnames=("L",),
         )
+        self._step2_pallas_lean = jax.jit(
+            functools.partial(
+                _step2_boundary_pallas_lean,
+                k=self.k,
+                K=self.K,
+                window_size=window_size,
+                slide=slide,
+                jump=jump,
+                min_size=min_size,
+                interpret=self._pallas_interpret,
+            ),
+            static_argnames=("L",),
+        )
         self._step1_lean = jax.jit(functools.partial(
             _step1_counts_lean, k=self.k, greedy=self.greedy_strategy))
         self._step2_lean = jax.jit(
@@ -293,6 +322,17 @@ class TelomereScanModel:
                               lens: np.ndarray | None = None):
         if self.use_pallas and tail_codes.shape[0] % 8 == 0:
             L = tail_codes.shape[1]
+            if lens is not None and _batch_is_clean(tail_codes, lens):
+                # lean wire (2 bits/base): clean batches ship no invalid
+                # plane; the kernel derives suffix invalidity from lengths
+                p = batching.pack_tails_phase_planar_lean(
+                    tail_codes, self.k, self.window_size, self.slide
+                )
+                return self._step2_pallas_lean(
+                    jnp.asarray(p),
+                    jnp.asarray(lens.astype(np.int32).reshape(-1, 1)),
+                    jnp.asarray(n_windows), self.table, L=L,
+                )
             p, iv = batching.pack_tails_phase_planar(
                 tail_codes, self.k, self.window_size, self.slide
             )

@@ -127,22 +127,38 @@ def phase_plane_geometry(L: int, k: int, window_size: int, slide: int):
 
 def _signal_kernel(packed_ref, invalid_ref, table_ref, out_ref, *,
                    k: int, K: int, slide: int, J: int, WB: int,
-                   n_outer: int, bq: int):
+                   n_outer: int, bq: int, lean: bool = False):
     R = _READS_PER_PROGRAM
     nq = WB + n_outer              # match-plane entries this block needs
     packed = packed_ref[...].astype(jnp.int32)         # [R, Pb//4]
-    iv = invalid_ref[...].astype(jnp.int32)            # [R, Pb//8]
 
     # ---- planar unpack: shift+mask quarters -> lane concat [R, Pb] ----
     codes = jnp.concatenate([(packed >> (2 * s)) & 3 for s in range(4)], axis=1)
-    invalid = jnp.concatenate([(iv >> s) & 1 for s in range(8)], axis=1)
-    codes = codes + invalid * 4    # invalid -> code >= 4 (poisons k-mers)
+    if lean:
+        # lean wire: no invalid plane on the wire — suffix invalidity is
+        # derived from per-read lengths ([R, 1] int32 ref).  Plane r,
+        # entry q covers base position (wb*WB + q)*slide + r; positions
+        # >= len are poisoned.  Pure int32 arithmetic (no i1 vectors).
+        lens = invalid_ref[...].astype(jnp.int32)      # [R, 1]
+        wb = pl.program_id(1)
+        base0 = wb * (WB * slide)
+        q_iota = jax.lax.broadcasted_iota(jnp.int32, (R, bq), 1)
+        planes = []
+        for r in range(slide):
+            raw = jax.lax.slice(codes, (0, r * bq), (R, (r + 1) * bq))
+            pos = base0 + q_iota * slide + r
+            bad = jnp.clip(pos - lens + 1, 0, 1)       # 1 iff pos >= len
+            planes.append(raw + bad * 4)
+    else:
+        iv = invalid_ref[...].astype(jnp.int32)        # [R, Pb//8]
+        invalid = jnp.concatenate([(iv >> s) & 1 for s in range(8)], axis=1)
+        codes = codes + invalid * 4    # invalid -> code >= 4 (poisons k-mers)
 
-    # ---- phase planes of base codes: contiguous lane slices ----
-    planes = [
-        jax.lax.slice(codes, (0, r * bq), (R, (r + 1) * bq))
-        for r in range(slide)
-    ]
+        # ---- phase planes of base codes: contiguous lane slices ----
+        planes = [
+            jax.lax.slice(codes, (0, r * bq), (R, (r + 1) * bq))
+            for r in range(slide)
+        ]
 
     # ---- per-phase rolling codes + match planes [R, K, nq] (int32) ----
     # Rolling code at plane entry (r, q) = block position q*slide + r;
@@ -185,6 +201,59 @@ def _signal_kernel(packed_ref, invalid_ref, table_ref, out_ref, *,
     out_ref[...] = jnp.sum(jnp.maximum(cnt, 1), axis=1)
 
 
+def _signal_pallas_call(packed, aux, table, *, k, K, window_size, slide, L,
+                        interpret, lean):
+    B = packed.shape[0]
+    J, W, WB, nWB, n_outer, bq = phase_plane_geometry(L, k, window_size, slide)
+    if W == 0 or J <= 0:
+        return jnp.full((B, max(W, 0)), K, jnp.int32)
+    Pb = bq * slide
+    if packed.shape[1] != nWB * (Pb // 4):
+        raise ValueError(
+            f"wire shape {packed.shape} does not match phase-planar "
+            f"geometry for L={L} (expect [B,{nWB * (Pb // 4)}])"
+        )
+    if not lean and aux.shape[1] != nWB * (Pb // 8):
+        raise ValueError(
+            f"invalid-plane shape {aux.shape} does not match geometry "
+            f"for L={L} (expect [B,{nWB * (Pb // 8)}])"
+        )
+    R = _READS_PER_PROGRAM
+    if B % R:
+        raise ValueError(f"pallas step2 requires batch divisible by {R}")
+
+    kernel = functools.partial(
+        _signal_kernel, k=k, K=K, slide=slide, J=J, WB=WB,
+        n_outer=n_outer, bq=bq, lean=lean,
+    )
+    aux_spec = (
+        pl.BlockSpec((R, 1), lambda i, wb: (i, 0), memory_space=pltpu.VMEM)
+        if lean else
+        pl.BlockSpec((R, Pb // 8), lambda i, wb: (i, wb),
+                     memory_space=pltpu.VMEM)
+    )
+    # Trace the kernel in 32-bit mode: the kernel is pure int32/uint8,
+    # and any x64-widened scalar would hit an infinite recursion in
+    # Mosaic's 64-bit convert-element-type lowering.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // R, nWB),
+            in_specs=[
+                pl.BlockSpec((R, Pb // 4), lambda i, wb: (i, wb),
+                             memory_space=pltpu.VMEM),
+                aux_spec,
+                pl.BlockSpec((K,), lambda i, wb: (0,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, WB), lambda i, wb: (i, wb),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, nWB * WB), jnp.int32),
+            interpret=interpret,
+        )(packed, aux, table)
+    return out[:, :W]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "K", "window_size", "slide", "L", "interpret"),
@@ -200,43 +269,26 @@ def step2_signal_pallas(packed, invalid_bits, table, *, k: int, K: int,
     tail length the windows are defined over (W = (L-window)//slide+1,
     matching the XLA path on the same padded batch).
     """
-    B = packed.shape[0]
-    J, W, WB, nWB, n_outer, bq = phase_plane_geometry(L, k, window_size, slide)
-    if W == 0 or J <= 0:
-        return jnp.full((B, max(W, 0)), K, jnp.int32)
-    Pb = bq * slide
-    if packed.shape[1] != nWB * (Pb // 4) or invalid_bits.shape[1] != nWB * (Pb // 8):
-        raise ValueError(
-            f"wire shapes {packed.shape}/{invalid_bits.shape} do not match "
-            f"phase-planar geometry for L={L} "
-            f"(expect [B,{nWB * (Pb // 4)}]/[B,{nWB * (Pb // 8)}])"
-        )
-    R = _READS_PER_PROGRAM
-    if B % R:
-        raise ValueError(f"pallas step2 requires batch divisible by {R}")
+    return _signal_pallas_call(
+        packed, invalid_bits, table, k=k, K=K, window_size=window_size,
+        slide=slide, L=L, interpret=interpret, lean=False)
 
-    kernel = functools.partial(
-        _signal_kernel, k=k, K=K, slide=slide, J=J, WB=WB,
-        n_outer=n_outer, bq=bq,
-    )
-    # Trace the kernel in 32-bit mode: the kernel is pure int32/uint8,
-    # and any x64-widened scalar would hit an infinite recursion in
-    # Mosaic's 64-bit convert-element-type lowering.
-    with jax.enable_x64(False):
-        out = pl.pallas_call(
-            kernel,
-            grid=(B // R, nWB),
-            in_specs=[
-                pl.BlockSpec((R, Pb // 4), lambda i, wb: (i, wb),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((R, Pb // 8), lambda i, wb: (i, wb),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((K,), lambda i, wb: (0,),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((R, WB), lambda i, wb: (i, wb),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, nWB * WB), jnp.int32),
-            interpret=interpret,
-        )(packed, invalid_bits, table)
-    return out[:, :W]
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "K", "window_size", "slide", "L", "interpret"),
+)
+def step2_signal_pallas_lean(packed, lengths, table, *, k: int, K: int,
+                             window_size: int, slide: int, L: int,
+                             interpret: bool = False):
+    """Lean-wire variant: 2 bits/base only.  `packed` comes from
+    io.batch.pack_tails_phase_planar_lean; `lengths` is [B, 1] int32
+    valid lengths (suffix padding only — callers must check the batch is
+    pure ACGT, as for the other lean wire formats).  The kernel derives
+    position>=length invalidity from a per-plane iota, replacing the
+    1-bit/base invalid plane — a 1.5x cut in host->device wire bytes on
+    the dominant transfer of the pipeline.  Bit-identical to
+    step2_signal_pallas on clean batches (tested)."""
+    return _signal_pallas_call(
+        packed, lengths, table, k=k, K=K, window_size=window_size,
+        slide=slide, L=L, interpret=interpret, lean=True)
