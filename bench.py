@@ -187,23 +187,32 @@ def main():
         tmp = tempfile.mkdtemp()
         fq = os.path.join(tmp, "synthetic.fastq.gz")
         make_fastq(fq, n_reads)
-        out = os.path.join(tmp, "out")
-        cfg = TopsicleConfig(input_dir=fq, output_dir=out,
-                             pattern="CCCTAAA", slide=6)
-        t0 = time.time()
-        JaxEngine(cfg, log=RunLog(out, echo=False)).run()
-        dt = time.time() - t0
         total_bp = 0
         with _gz.open(fq, "rt") as fh:
             for i, line in enumerate(fh):
                 if i % 4 == 1:
                     total_bp += len(line) - 1
-        e2e = {"e2e_reads_per_s": round(n_reads / dt, 1),
-               "e2e_mbps": round(total_bp / dt / 1e6, 2),
-               "e2e_wall_s": round(dt, 1), "e2e_reads": n_reads}
-        print(f"[bench] e2e engine: {n_reads} reads / {total_bp/1e6:.1f} Mbp "
-              f"in {dt:.1f}s = {e2e['e2e_reads_per_s']} reads/s "
-              f"(incl. gzip parse, subset, CSV, startup)",
+        # one engine, two runs: run 1 pays whatever program-load cost the
+        # environment charges; run 2 reuses the SAME jitted programs and
+        # measures the steady-state engine (what a long job sustains)
+        cfg = TopsicleConfig(input_dir=fq, output_dir=os.path.join(tmp, "o1"),
+                             pattern="CCCTAAA", slide=6)
+        eng = JaxEngine(cfg, log=RunLog(None, echo=False))
+        t0 = time.time()
+        eng.run()
+        cold = time.time() - t0
+        cfg.output_dir = os.path.join(tmp, "o2")
+        t0 = time.time()
+        eng.run()
+        warm = time.time() - t0
+        e2e = {"e2e_reads_per_s": round(n_reads / warm, 1),
+               "e2e_mbps": round(total_bp / warm / 1e6, 2),
+               "e2e_wall_s": round(warm, 1),
+               "e2e_cold_wall_s": round(cold, 1), "e2e_reads": n_reads}
+        print(f"[bench] e2e engine: {n_reads} reads / {total_bp/1e6:.1f} Mbp; "
+              f"cold {cold:.1f}s, warm {warm:.1f}s = "
+              f"{e2e['e2e_reads_per_s']} reads/s "
+              f"(incl. gzip parse, step1, subset, step2, CSV, aggregates)",
               file=sys.stderr, flush=True)
 
     # Metric history: "scan_throughput" (r1 early, transfer-included) ->

@@ -220,3 +220,16 @@ def test_global_mode_extras_match_files_mode(tmp_path, demo_fastq):
                            shallow=False), name
     assert (outs["files"] / "telolengths_all.csv").read_bytes() == \
         (outs["global"] / "telolengths_all.csv").read_bytes()
+
+
+@requires_demo
+def test_scan_length_modes_identical(demo_fastq, tmp_path):
+    """scan_length_mode='static' (one device program, the default) and
+    'bucket' (per-batch padded lengths) produce byte-identical CSVs."""
+    outs = {}
+    for mode in ("static", "bucket"):
+        out = tmp_path / mode
+        cfg = _demo_cfg(demo_fastq, out, scan_length_mode=mode)
+        JaxEngine(cfg).run()
+        outs[mode] = (out / "telolengths_all.csv").read_bytes()
+    assert outs["static"] == outs["bucket"]

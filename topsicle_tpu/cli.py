@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Continue an interrupted run: keep completed (file, k) units from the existing CSV/manifest and recompute only the rest")
     p.add_argument("--traceDir", metavar="FOLDER", type=str, default=None,
                    help="Write a jax.profiler trace of the run to this directory")
+    p.add_argument("--scanLengthMode", choices=["static", "bucket"], default="static",
+                   help="Step-2 padding: 'static' = one device program for the whole "
+                        "run (fast startup); 'bucket' = pad per batch (less compute "
+                        "on short-read data, one compile per length bucket)")
     # --- multi-host (reference analog: manual SLURM job splitting,
     # README.md:261-270 — here it is automatic and deterministic) ---
     p.add_argument("--coordinator", metavar="HOST:PORT", type=str, default=None,
@@ -101,6 +105,7 @@ def config_from_args(args: argparse.Namespace) -> TopsicleConfig:
         batch_size=args.batchSize,
         resume=args.resume,
         trace_dir=args.traceDir,
+        scan_length_mode=args.scanLengthMode,
         process_id=args.processId,
         process_count=args.processCount,
         shard_mode=args.shardMode,
