@@ -174,3 +174,44 @@ def test_multi_file_readahead_matches_oracle(tmp_path):
     j = (tmp_path / "j" / "telolengths_all.csv").read_bytes()
     assert j == (tmp_path / "o" / "telolengths_all.csv").read_bytes()
     assert j == (tmp_path / "j1" / "telolengths_all.csv").read_bytes()
+
+
+def test_randomized_param_fuzz_engine_vs_oracle(tmp_path):
+    """Fuzz the full (pattern, k, windowSize, slide, trimfirst,
+    maxlengthtelo, minSeqLength, cutoff) space on synthetic reads with
+    N bases and ragged lengths: engine CSV must equal the oracle's byte
+    for byte in every drawn config."""
+    rng = random.Random(20260820)
+    patterns = ["CCCTAAA", "CCCTAA", "TTAGGG", "ACGGT"]
+    for trial in range(4):
+        pattern = patterns[trial]
+        data = tmp_path / f"in{trial}"
+        data.mkdir()
+        with gzip.open(data / "r.fastq.gz", "wt") as fh:
+            for i in range(10):
+                total = rng.randrange(4000, 9000)
+                telo_len = rng.randrange(100, 2500)
+                seq = list(_telo_read(rng, pattern, telo_len, total))
+                for _ in range(rng.randrange(0, 6)):     # sprinkle Ns
+                    seq[rng.randrange(total)] = "N"
+                if rng.random() < 0.5:                   # reverse-end telo
+                    seq = seq[::-1]
+                s = "".join(seq)
+                fh.write(f"@r{trial}_{i}\n{s}\n+\n{'I' * len(s)}\n")
+        kw = dict(
+            pattern=pattern,
+            telophrase=[rng.choice([3, 4, 5, len(pattern) - 1, len(pattern)])],
+            window_size=rng.choice([60, 100, 147]),
+            slide=rng.choice([3, 6, 11]),
+            trimfirst=rng.choice([0, 50, 100]),
+            maxlengthtelo=rng.choice([3000, 5000, 20000]),
+            min_seq_length=3500,
+            cutoff=rng.choice([0.3, [0.5, 0.3]]),
+        )
+        JaxEngine(TopsicleConfig(input_dir=str(data), output_dir=str(tmp_path / f"j{trial}"),
+                                 batch_size=8, **kw)).run()
+        OracleEngine(TopsicleConfig(input_dir=str(data), output_dir=str(tmp_path / f"o{trial}"),
+                                    **kw)).run()
+        got = (tmp_path / f"j{trial}" / "telolengths_all.csv").read_bytes()
+        want = (tmp_path / f"o{trial}" / "telolengths_all.csv").read_bytes()
+        assert got == want, f"trial {trial}: {kw}"
