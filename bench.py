@@ -12,26 +12,29 @@ tunneled TPU backend, `jax.block_until_ready` returns without waiting
 for execution, so any loop synced with it times *dispatch*, not compute
 — the round-1 recorded 27,263 Mbp/s was such an artifact.  Every number
 here is now synced by a device->host copy of the results (np.asarray),
-the only reliable barrier on this backend.  Two loops:
+the only reliable barrier on this backend.  Measurements:
 
-- device-resident: one jitted program runs `iters` chained
-  step1+step2 iterations inside lax.fori_loop (inputs XOR-perturbed by
-  the loop index so loop-invariant code motion cannot hoist the work),
-  then a single scalar checksum comes back.  Per-iter time is the slope
-  between a short and a long chain, so dispatch latency and the D2H
-  round trip cancel.
 - with transfers: the production launch path (host 2-bit pack ->
   transfer -> both stages -> per-batch result sync) with 4 batches in
   flight, as the engine runs it.
-
-Secondary fields: e2e engine reads/s on a synthetic gzipped FASTQ
-(including parse, subset, CSV), and the per-process startup cost
-(first-execution server-side compile over the tunnel) measured as
-first-call minus steady-state.  Extra diagnostics on stderr.
+- e2e engine: one engine, two runs over a synthetic gzipped FASTQ; run
+  1 absorbs program-load cost (e2e_cold_wall_s), run 2 reuses the same
+  jitted programs and reports the steady-state rate.
+- device-resident (the headline): one jitted program runs `iters`
+  chained step1+step2 iterations inside lax.fori_loop (inputs
+  XOR-perturbed by the loop index so loop-invariant code motion cannot
+  hoist the work); per-iter time is the slope between a short and a
+  long chain, so dispatch latency and the D2H round trip cancel.  The
+  tunnel's compile service charges minutes for a new program shape at
+  unpredictable odds, so this probe runs in a SUBPROCESS under a
+  deadline (TOPSICLE_BENCH_PROBE_TIMEOUT, default 540 s); if it blows
+  the deadline, the transfer-included number stands in as the metric
+  (a strict lower bound), marked "sync": "d2h-launch-fallback".
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -58,9 +61,15 @@ def make_reads(rng, B, L, pattern="CCCTAAA"):
     return base
 
 
-def main():
+B = 128
+READ_LEN = 20000          # ~ONT long read
+NO_BP = 1000
+WINDOW, SLIDE, TRIM, MLT = 100, 6, 100, 20000
+K_PHRASE = 5
+
+
+def _setup():
     import jax
-    import jax.numpy as jnp
 
     from topsicle_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -69,38 +78,36 @@ def main():
     from topsicle_tpu.io import batch as batching
     from topsicle_tpu.kmers import telophrase_kmers
     from topsicle_tpu.models import TelomereScanModel
-    from topsicle_tpu.models.telomere import (_step1_counts_lean,
-                                              _step2_boundary_pallas,
-                                              _step2_boundary_lean)
-
-    rng = np.random.default_rng(42)
-    B = 128
-    read_len = 20000          # ~ONT long read
-    no_bp = 1000
-    window_size, slide, trimfirst, mlt = 100, 6, 100, 20000
-    k = 5
 
     model = TelomereScanModel(
-        telophrase_kmers("CCCTAAA", k), window_size=window_size, slide=slide
+        telophrase_kmers("CCCTAAA", K_PHRASE), window_size=WINDOW, slide=SLIDE
     )
-    print(f"[bench] device: {jax.devices()[0]}, pallas={model.use_pallas}",
-          file=sys.stderr, flush=True)
+    rng = np.random.default_rng(42)
+    reads = make_reads(rng, B, READ_LEN)
+    ends = np.stack([np.concatenate([r[:NO_BP], r[-NO_BP:][::-1]]) for r in reads])
+    ep = batching.pack_codes(ends.reshape(B * 2, NO_BP)).reshape(B, 2, -1)
+    el = np.full(B, NO_BP, np.int32)
+    tails = [batching.extract_tail(r, "forward", TRIM, MLT) for r in reads]
+    tail_codes, lens = batching.tails_batch(tails, MLT - TRIM)
+    nw = batching.window_counts_for_lengths(lens, WINDOW, SLIDE).astype(np.int32)
+    return jax, batching, model, ends, ep, el, tail_codes, lens, nw
 
-    # one host batch, production wire formats
-    reads = make_reads(rng, B, read_len)
-    ends = np.stack([np.concatenate([r[:no_bp], r[-no_bp:][::-1]]) for r in reads])
-    ep = batching.pack_codes(ends.reshape(B * 2, no_bp)).reshape(B, 2, -1)
-    el = np.full(B, no_bp, np.int32)
-    tails = [batching.extract_tail(r, "forward", trimfirst, mlt) for r in reads]
-    tail_codes, lens = batching.tails_batch(tails, mlt - trimfirst)
+
+def resident_probe():
+    """Subprocess entry: measure the chained device-resident rate and
+    print one JSON line {"ms_per_iter":..., "mbps":..., "startup_s":...}."""
+    import jax
+    import jax.numpy as jnp
+
+    jax_, batching, model, ends, ep, el, tail_codes, lens, nw = _setup()
+    from topsicle_tpu.models.telomere import (_step1_counts_lean,
+                                              _step2_boundary_lean,
+                                              _step2_boundary_pallas)
+
     Lpad = tail_codes.shape[1]
-    nw = batching.window_counts_for_lengths(lens, window_size, slide).astype(np.int32)
-    bp_per_iter = B * (2 * no_bp + Lpad)
-
-    # ---- device-resident chained loop (see module docstring) -------------
     use_pallas = model.use_pallas
     if use_pallas:
-        pp, piv = batching.pack_tails_phase_planar(tail_codes, k, window_size, slide)
+        pp, piv = batching.pack_tails_phase_planar(tail_codes, K_PHRASE, WINDOW, SLIDE)
     else:
         pp = batching.pack_codes(tail_codes)
         piv = lens.astype(np.int32)
@@ -110,16 +117,16 @@ def main():
             # XOR by (i&1) perturbs real data so the body cannot be
             # hoisted out of the loop; both stages still do full work
             x = jnp.uint8(i & 1)
-            c = _step1_counts_lean(ep ^ x, el, table, k=k, greedy="chunked")
+            c = _step1_counts_lean(ep ^ x, el, table, k=K_PHRASE, greedy="chunked")
             if use_pallas:
                 t, _ = _step2_boundary_pallas(
-                    pp ^ x, piv, nw, table, k=k, K=model.K,
-                    window_size=window_size, slide=slide, L=Lpad,
+                    pp ^ x, piv, nw, table, k=K_PHRASE, K=model.K,
+                    window_size=WINDOW, slide=SLIDE, L=Lpad,
                     jump=5, min_size=2)
             else:
                 t, _ = _step2_boundary_lean(
-                    pp ^ x, piv, nw, table, k=k, window_size=window_size,
-                    slide=slide, jump=5, min_size=2)
+                    pp ^ x, piv, nw, table, k=K_PHRASE, window_size=WINDOW,
+                    slide=SLIDE, jump=5, min_size=2)
             return acc + jnp.sum(c) + jnp.sum(t) + i
         return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
 
@@ -129,8 +136,6 @@ def main():
     t0 = time.time()
     np.asarray(chain(*cargs, jnp.int32(1)))
     startup_s = time.time() - t0
-    print(f"[bench] first-call (client+server compile + 1 iter): "
-          f"{startup_s:.1f}s", file=sys.stderr, flush=True)
 
     n_small, n_big = 4, 68
     best = None
@@ -139,19 +144,33 @@ def main():
         t0 = time.time(); np.asarray(chain(*cargs, jnp.int32(n_big))); d_b = time.time() - t0
         per = (d_b - d_s) / (n_big - n_small)
         best = per if best is None else min(best, per)
-    resident_mbps = bp_per_iter / best / 1e6
-    print(f"[bench] device-resident: {best*1e3:.2f} ms/iter = "
-          f"{B/best:.0f} reads/s, {resident_mbps:.1f} Mbp/s "
-          f"(slope {n_small}->{n_big} iters, best of 3, D2H-synced)",
+    bp_per_iter = B * (2 * NO_BP + Lpad)
+    print(json.dumps({
+        "ms_per_iter": round(best * 1e3, 2),
+        "mbps": round(bp_per_iter / best / 1e6, 1),
+        "reads_per_s": round(B / best),
+        "startup_s": round(startup_s, 1),
+    }))
+
+
+def main():
+    jax, batching, model, ends, ep, el, tail_codes, lens, nw = _setup()
+    print(f"[bench] device: {jax.devices()[0]}, pallas={model.use_pallas}",
           file=sys.stderr, flush=True)
+    Lpad = tail_codes.shape[1]
+    bp_per_iter = B * (2 * NO_BP + Lpad)
 
     # ---- with transfers: the production launch path ----------------------
     def launch():
-        c = model.step1_counts_launch(ends.reshape(B, 2, no_bp), el)
+        c = model.step1_counts_launch(ends.reshape(B, 2, NO_BP), el)
         t, has = model.step2_boundary_launch(tail_codes, nw, lens)
         return c, t, has
 
+    t0 = time.time()
     np.asarray(launch()[1])       # warm the launch-path programs
+    warm_s = time.time() - t0
+    print(f"[bench] launch-path warmup (compile + first exec): {warm_s:.1f}s",
+          file=sys.stderr, flush=True)
     iters = 16
     best_dt = None
     for _ in range(3):
@@ -215,21 +234,60 @@ def main():
               f"(incl. gzip parse, step1, subset, step2, CSV, aggregates)",
               file=sys.stderr, flush=True)
 
+    # ---- device-resident probe (subprocess, deadline-guarded) ------------
+    probe_timeout = float(os.environ.get("TOPSICLE_BENCH_PROBE_TIMEOUT", "540"))
+    resident = None
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--resident-probe"],
+            capture_output=True, text=True, timeout=probe_timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                resident = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+    except subprocess.TimeoutExpired:
+        print(f"[bench] resident probe blew the {probe_timeout:.0f}s deadline "
+              "(tunnel compile-service lottery) — falling back to the "
+              "transfer-included number as a lower bound",
+              file=sys.stderr, flush=True)
+
     # Metric history: "scan_throughput" (r1 early, transfer-included) ->
     # "device_scan_throughput" (r1 final; measured with block_until_ready,
     # which this backend does not honor -> values were dispatch rate, not
     # compute) -> same name, D2H-synced slope measurement (2026-08-20).
-    print(json.dumps({
-        "metric": "device_scan_throughput",
-        "value": round(resident_mbps, 1),
-        "unit": "Mbp/s",
-        "vs_baseline": round(resident_mbps / 0.4, 1),
-        "sync": "d2h-chained",
-        "transfer_mbps": round(xfer_mbps, 1),
-        "startup_s": round(startup_s, 1),
-        **e2e,
-    }))
+    if resident:
+        print(f"[bench] device-resident: {resident['ms_per_iter']} ms/iter = "
+              f"{resident['reads_per_s']} reads/s, {resident['mbps']} Mbp/s "
+              f"(chained-loop slope, D2H-synced; probe startup "
+              f"{resident['startup_s']}s)", file=sys.stderr, flush=True)
+        out = {
+            "metric": "device_scan_throughput",
+            "value": resident["mbps"],
+            "unit": "Mbp/s",
+            "vs_baseline": round(resident["mbps"] / 0.4, 1),
+            "sync": "d2h-chained",
+            "resident_ms_per_iter": resident["ms_per_iter"],
+            "startup_s": resident["startup_s"],
+        }
+    else:
+        out = {
+            "metric": "device_scan_throughput",
+            "value": round(xfer_mbps, 1),
+            "unit": "Mbp/s",
+            "vs_baseline": round(xfer_mbps / 0.4, 1),
+            "sync": "d2h-launch-fallback",
+        }
+    out["transfer_mbps"] = round(xfer_mbps, 1)
+    out.update(e2e)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--resident-probe" in sys.argv:
+        resident_probe()
+    else:
+        main()

@@ -62,8 +62,9 @@ class TopsicleConfig:
     # new program, which dominated end-to-end time in round 1).
     scan_length_mode: str = "static"
     engine: str = "jax"          # "jax" (device path) or "oracle" (pure CPU)
-    # step-2 compute path: None => auto (fused Pallas kernel on TPU
-    # backends, XLA phase scan elsewhere) — models.telomere.resolve_use_pallas
+    # step-2 compute path: None => auto (XLA phase scan — measured
+    # faster than the fused Pallas kernel, which stays selectable) —
+    # models.telomere.resolve_use_pallas has the numbers
     use_pallas: Optional[bool] = None
     native_io: Optional[bool] = None   # None => auto (C++ loader if built)
     resume: bool = False         # skip (file, phrase) units completed per manifest

@@ -146,21 +146,27 @@ def _step2_boundary_pallas_lean(packed, lengths, n_windows, table, *,
 
 def resolve_use_pallas(requested: bool | None = None) -> bool:
     """Pick the step-2 compute path.  Priority: explicit argument >
-    TOPSICLE_USE_PALLAS env var > auto (True on TPU backends only).
+    TOPSICLE_USE_PALLAS env var > auto (False: the XLA phase scan).
 
-    On TPU the fused kernel keeps the [K, positions] match plane in VMEM
-    (no HBM round-trip) and is the fastest device-resident path; on CPU
-    backends it would run through the Pallas interpreter, which is far
-    slower than the XLA phase scan, so auto resolves False there."""
+    Both paths are production-wired and bit-identical; honest D2H-synced
+    chained-loop measurement on TPU v5e (2026-08-20, B=128 x 20 kbp,
+    benchmarks/diag_paths.py) picked the winner:
+
+        XLA lean phase scan   2.58 ms/iter = 992 Mbp/s   (default)
+        fused Pallas kernel   3.65 ms/iter = 700 Mbp/s
+
+    The XLA path also ships 1.23x fewer wire bytes (no phase-halo
+    padding) and its first-call compile is an order of magnitude
+    cheaper on remote toolchains.  The Pallas kernel remains selectable
+    (TOPSICLE_USE_PALLAS=1 / use_pallas=True) and chip-verified
+    byte-identical on the demo; earlier round-1 numbers showing Pallas
+    ahead were dispatch-rate artifacts (see BASELINE.md methodology)."""
     if requested is not None:
         return bool(requested)
     env = os.environ.get("TOPSICLE_USE_PALLAS")
     if env is not None:
         return env.strip().lower() not in ("", "0", "false", "no")
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    return False
 
 
 def resolve_window_strategy(requested: str | None = None) -> str:
