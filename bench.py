@@ -7,34 +7,39 @@ Prints ONE JSON line:
 Baseline: the reference demo implies ~0.4 Mbp/s end-to-end on one CPU
 worker (BASELINE.md).
 
-Measurement integrity (changed 2026-08-20): on this dev environment's
-tunneled TPU backend, `jax.block_until_ready` returns without waiting
-for execution, so any loop synced with it times *dispatch*, not compute
-— the round-1 recorded 27,263 Mbp/s was such an artifact.  Every number
-here is now synced by a device->host copy of the results (np.asarray),
-the only reliable barrier on this backend.  Measurements:
+Measurement integrity (see BASELINE.md "Measurement methodology"): on
+this dev environment's tunneled TPU backend, `jax.block_until_ready`
+returns without waiting for execution, so every number here is synced by
+a device->host copy of the results (np.asarray), the only reliable
+barrier on this backend.
 
+Stage order (restructured for round 3): the tunnel's compile service
+charges minutes per NEW program shape at unpredictable odds, and round
+2 spent that lottery budget on the launch-path warmup BEFORE the
+headline measurement — the round record fell back to the
+transfer-included number (32.8 Mbp/s) while the chip sustains ~1,100.
+Now the device-resident probe runs FIRST, in the main process, with the
+whole remaining time budget behind its single program shape; the
+launch-path and e2e secondaries run after, each gated on the remaining
+budget (TOPSICLE_BENCH_BUDGET, default 3000 s).
+
+Measurements:
+- device-resident (the headline): one jitted program runs `iters`
+  chained step1+step2 iterations inside lax.fori_loop (inputs
+  XOR-perturbed by the loop index so loop-invariant code motion cannot
+  hoist the work); `iters` is a traced argument, so the short and long
+  chains share ONE compiled program and per-iter time is the slope
+  between them — dispatch latency and the D2H round trip cancel.
 - with transfers: the production launch path (host 2-bit pack ->
   transfer -> both stages -> per-batch result sync) with 4 batches in
   flight, as the engine runs it.
 - e2e engine: one engine, two runs over a synthetic gzipped FASTQ; run
   1 absorbs program-load cost (e2e_cold_wall_s), run 2 reuses the same
   jitted programs and reports the steady-state rate.
-- device-resident (the headline): one jitted program runs `iters`
-  chained step1+step2 iterations inside lax.fori_loop (inputs
-  XOR-perturbed by the loop index so loop-invariant code motion cannot
-  hoist the work); per-iter time is the slope between a short and a
-  long chain, so dispatch latency and the D2H round trip cancel.  The
-  tunnel's compile service charges minutes for a new program shape at
-  unpredictable odds, so this probe runs in a SUBPROCESS under a
-  deadline (TOPSICLE_BENCH_PROBE_TIMEOUT, default 540 s); if it blows
-  the deadline, the transfer-included number stands in as the metric
-  (a strict lower bound), marked "sync": "d2h-launch-fallback".
 """
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -49,7 +54,8 @@ def make_reads(rng, B, L, pattern="CCCTAAA"):
     for i, b in enumerate(b"ACGT"):
         lut[b] = i
     pat_codes = lut[pat]
-    telo_lens = rng.integers(500, 5000, B)
+    telo_hi = min(5000, max(502, L // 2))
+    telo_lens = rng.integers(500, telo_hi, B)
     reps = int(np.ceil(telo_lens.max() / len(pat_codes))) + 1
     tiled = np.tile(pat_codes, reps)
     for i in range(B):
@@ -61,15 +67,22 @@ def make_reads(rng, B, L, pattern="CCCTAAA"):
     return base
 
 
-B = 128
-READ_LEN = 20000          # ~ONT long read
+B = int(os.environ.get("TOPSICLE_BENCH_B", "128"))
+READ_LEN = int(os.environ.get("TOPSICLE_BENCH_READ_LEN", "20000"))  # ~ONT long read
 NO_BP = 1000
-WINDOW, SLIDE, TRIM, MLT = 100, 6, 100, 20000
+WINDOW, SLIDE, TRIM = 100, 6, 100
+MLT = READ_LEN
 K_PHRASE = 5
 
 
 def _setup():
     import jax
+
+    # Smoke-testing escape hatch: the axon sitecustomize pins
+    # JAX_PLATFORMS, so forcing a backend needs jax.config (CLAUDE.md)
+    plat = os.environ.get("TOPSICLE_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     from topsicle_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -93,13 +106,12 @@ def _setup():
     return jax, batching, model, ends, ep, el, tail_codes, lens, nw
 
 
-def resident_probe():
-    """Subprocess entry: measure the chained device-resident rate and
-    print one JSON line {"ms_per_iter":..., "mbps":..., "startup_s":...}."""
-    import jax
+def _resident_measure(jax, batching, model, ep, el, tail_codes, lens, nw):
+    """Chained device-resident rate: ONE program shape (iters is a
+    traced fori_loop bound), measured as the slope between a 4- and a
+    68-iteration chain, D2H-synced, best of 3.  Returns a dict."""
     import jax.numpy as jnp
 
-    jax_, batching, model, ends, ep, el, tail_codes, lens, nw = _setup()
     from topsicle_tpu.models.telomere import (_step1_counts_lean,
                                               _step2_boundary_lean,
                                               _step2_boundary_pallas)
@@ -133,11 +145,17 @@ def resident_probe():
     chain = jax.jit(resident_iters)
     cargs = (jnp.asarray(ep), jnp.asarray(el), jnp.asarray(pp),
              jnp.asarray(piv), jnp.asarray(nw), model.table)
+    print("[bench] resident probe: compiling + first exec of the chained "
+          "program (tunnel compile service may take minutes)...",
+          file=sys.stderr, flush=True)
     t0 = time.time()
     np.asarray(chain(*cargs, jnp.int32(1)))
     startup_s = time.time() - t0
+    print(f"[bench] resident probe warm after {startup_s:.1f}s; measuring",
+          file=sys.stderr, flush=True)
 
-    n_small, n_big = 4, 68
+    n_small = int(os.environ.get("TOPSICLE_BENCH_CHAIN_SHORT", "4"))
+    n_big = int(os.environ.get("TOPSICLE_BENCH_CHAIN_LONG", "68"))
     best = None
     for _ in range(3):
         t0 = time.time(); np.asarray(chain(*cargs, jnp.int32(n_small))); d_s = time.time() - t0
@@ -145,55 +163,92 @@ def resident_probe():
         per = (d_b - d_s) / (n_big - n_small)
         best = per if best is None else min(best, per)
     bp_per_iter = B * (2 * NO_BP + Lpad)
-    print(json.dumps({
+    return {
         "ms_per_iter": round(best * 1e3, 2),
         "mbps": round(bp_per_iter / best / 1e6, 1),
         "reads_per_s": round(B / best),
         "startup_s": round(startup_s, 1),
-    }))
+    }
+
+
+def resident_probe():
+    """Standalone entry (python bench.py --resident-probe): measure the
+    chained device-resident rate and print one JSON line."""
+    jax, batching, model, ends, ep, el, tail_codes, lens, nw = _setup()
+    print(json.dumps(_resident_measure(
+        jax, batching, model, ep, el, tail_codes, lens, nw)))
 
 
 def main():
+    budget = float(os.environ.get("TOPSICLE_BENCH_BUDGET", "3000"))
+    t_run = time.time()
+
+    def remaining():
+        return budget - (time.time() - t_run)
+
     jax, batching, model, ends, ep, el, tail_codes, lens, nw = _setup()
-    print(f"[bench] device: {jax.devices()[0]}, pallas={model.use_pallas}",
-          file=sys.stderr, flush=True)
+    print(f"[bench] device: {jax.devices()[0]}, pallas={model.use_pallas}, "
+          f"budget={budget:.0f}s", file=sys.stderr, flush=True)
     Lpad = tail_codes.shape[1]
     bp_per_iter = B * (2 * NO_BP + Lpad)
 
-    # ---- with transfers: the production launch path ----------------------
-    def launch():
-        c = model.step1_counts_launch(ends.reshape(B, 2, NO_BP), el)
-        t, has = model.step2_boundary_launch(tail_codes, nw, lens)
-        return c, t, has
+    # ---- device-resident probe FIRST (the headline metric) ---------------
+    # In-process and before anything else touches the device, so the
+    # compile-service lottery gets the whole budget and nothing queues
+    # ahead of the chain's first execution.
+    resident = None
+    if os.environ.get("TOPSICLE_BENCH_SKIP_RESIDENT", "0") not in ("1", "true"):
+        try:
+            resident = _resident_measure(
+                jax, batching, model, ep, el, tail_codes, lens, nw)
+            print(f"[bench] device-resident: {resident['ms_per_iter']} ms/iter "
+                  f"= {resident['reads_per_s']} reads/s, {resident['mbps']} "
+                  f"Mbp/s (chained-loop slope, D2H-synced; startup "
+                  f"{resident['startup_s']}s)", file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"[bench] resident probe failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
 
-    t0 = time.time()
-    np.asarray(launch()[1])       # warm the launch-path programs
-    warm_s = time.time() - t0
-    print(f"[bench] launch-path warmup (compile + first exec): {warm_s:.1f}s",
-          file=sys.stderr, flush=True)
-    iters = 16
-    best_dt = None
-    for _ in range(3):
+    # ---- with transfers: the production launch path ----------------------
+    xfer_mbps = None
+    if remaining() > 120:
+        def launch():
+            c = model.step1_counts_launch(ends.reshape(B, 2, NO_BP), el)
+            t, has = model.step2_boundary_launch(tail_codes, nw, lens)
+            return c, t, has
+
         t0 = time.time()
-        inflight = []
-        for _ in range(iters):
-            inflight.append(launch())
-            if len(inflight) > 4:
-                c, t, has = inflight.pop(0)
+        np.asarray(launch()[1])       # warm the launch-path programs
+        warm_s = time.time() - t0
+        print(f"[bench] launch-path warmup (compile + first exec): {warm_s:.1f}s",
+              file=sys.stderr, flush=True)
+        iters = 16
+        best_dt = None
+        for _ in range(3):
+            t0 = time.time()
+            inflight = []
+            for _ in range(iters):
+                inflight.append(launch())
+                if len(inflight) > 4:
+                    c, t, has = inflight.pop(0)
+                    np.asarray(c); np.asarray(t)
+            for c, t, has in inflight:
                 np.asarray(c); np.asarray(t)
-        for c, t, has in inflight:
-            np.asarray(c); np.asarray(t)
-        dt = time.time() - t0
-        best_dt = dt if best_dt is None else min(best_dt, dt)
-    xfer_mbps = bp_per_iter * iters / best_dt / 1e6
-    print(f"[bench] with host pack+transfers (tunnel): "
-          f"{B*iters/best_dt:.0f} reads/s, {xfer_mbps:.1f} Mbp/s "
-          f"({iters} iters pipelined depth 4, best of 3, D2H-synced)",
-          file=sys.stderr, flush=True)
+            dt = time.time() - t0
+            best_dt = dt if best_dt is None else min(best_dt, dt)
+        xfer_mbps = bp_per_iter * iters / best_dt / 1e6
+        print(f"[bench] with host pack+transfers (tunnel): "
+              f"{B*iters/best_dt:.0f} reads/s, {xfer_mbps:.1f} Mbp/s "
+              f"({iters} iters pipelined depth 4, best of 3, D2H-synced)",
+              file=sys.stderr, flush=True)
+    else:
+        print("[bench] skipping launch-path secondary (budget exhausted)",
+              file=sys.stderr, flush=True)
 
     # ---- e2e engine secondary metric --------------------------------------
     e2e = {}
-    if os.environ.get("TOPSICLE_BENCH_E2E", "1") not in ("0", "false"):
+    if (os.environ.get("TOPSICLE_BENCH_E2E", "1") not in ("0", "false")
+            and remaining() > 180):
         import gzip as _gz
         import tempfile
 
@@ -233,37 +288,17 @@ def main():
               f"{e2e['e2e_reads_per_s']} reads/s "
               f"(incl. gzip parse, step1, subset, step2, CSV, aggregates)",
               file=sys.stderr, flush=True)
-
-    # ---- device-resident probe (subprocess, deadline-guarded) ------------
-    probe_timeout = float(os.environ.get("TOPSICLE_BENCH_PROBE_TIMEOUT", "540"))
-    resident = None
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--resident-probe"],
-            capture_output=True, text=True, timeout=probe_timeout,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        for line in reversed(proc.stdout.strip().splitlines()):
-            try:
-                resident = json.loads(line)
-                break
-            except json.JSONDecodeError:
-                continue
-    except subprocess.TimeoutExpired:
-        print(f"[bench] resident probe blew the {probe_timeout:.0f}s deadline "
-              "(tunnel compile-service lottery) — falling back to the "
-              "transfer-included number as a lower bound",
+    elif remaining() <= 180:
+        print("[bench] skipping e2e secondary (budget exhausted)",
               file=sys.stderr, flush=True)
 
     # Metric history: "scan_throughput" (r1 early, transfer-included) ->
     # "device_scan_throughput" (r1 final; measured with block_until_ready,
     # which this backend does not honor -> values were dispatch rate, not
-    # compute) -> same name, D2H-synced slope measurement (2026-08-20).
+    # compute) -> same name, D2H-synced slope measurement (2026-08-20);
+    # r3: resident probe moved first + in-process so the headline is
+    # captured before the compile-lottery budget is spent.
     if resident:
-        print(f"[bench] device-resident: {resident['ms_per_iter']} ms/iter = "
-              f"{resident['reads_per_s']} reads/s, {resident['mbps']} Mbp/s "
-              f"(chained-loop slope, D2H-synced; probe startup "
-              f"{resident['startup_s']}s)", file=sys.stderr, flush=True)
         out = {
             "metric": "device_scan_throughput",
             "value": resident["mbps"],
@@ -273,7 +308,7 @@ def main():
             "resident_ms_per_iter": resident["ms_per_iter"],
             "startup_s": resident["startup_s"],
         }
-    else:
+    elif xfer_mbps is not None:
         out = {
             "metric": "device_scan_throughput",
             "value": round(xfer_mbps, 1),
@@ -281,7 +316,11 @@ def main():
             "vs_baseline": round(xfer_mbps / 0.4, 1),
             "sync": "d2h-launch-fallback",
         }
-    out["transfer_mbps"] = round(xfer_mbps, 1)
+    else:
+        out = {"metric": "device_scan_throughput", "value": 0.0,
+               "unit": "Mbp/s", "vs_baseline": 0.0, "sync": "failed"}
+    if xfer_mbps is not None:
+        out["transfer_mbps"] = round(xfer_mbps, 1)
     out.update(e2e)
     print(json.dumps(out))
 
