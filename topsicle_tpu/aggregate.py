@@ -12,9 +12,15 @@ engine (both aggregate on host).
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+try:  # numpy >= 1.25 moved RankWarning; accept either home
+    _RankWarning = np.exceptions.RankWarning
+except AttributeError:  # pragma: no cover
+    _RankWarning = np.RankWarning
 
 
 @dataclasses.dataclass
@@ -34,7 +40,12 @@ def quad_vertex(trc: Sequence[float], telo: Sequence[float],
     <input_trc -> input_trc.  Returns (vertex_x, vertex_y, coeffs)."""
     trc_arr = np.asarray(trc, dtype=np.float64)
     telo_arr = np.asarray(telo, dtype=np.float64)
-    coeffs = np.polyfit(trc_arr, telo_arr, 2)
+    with warnings.catch_warnings():
+        # deg-2 polyfit on few, tightly-clustered TRCs is known
+        # ill-conditioned (SURVEY.md §7.3); the fit is part of the
+        # output contract, so we keep it and silence only this warning
+        warnings.simplefilter("ignore", _RankWarning)
+        coeffs = np.polyfit(trc_arr, telo_arr, 2)
     a, b, c = (float(v) for v in coeffs)
     vertex_x = -b / (2 * a)
     if vertex_x > 1.0:

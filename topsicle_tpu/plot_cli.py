@@ -20,20 +20,29 @@ from topsicle_tpu.oracle.reference import step1_trc
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="topsicle-overview",
-        description="Command line input handling for run_analysis function",
+        description="Draw exploratory plots (read-level match scatter, and "
+                    "optionally a k-mer-vs-following-bases heatmap) for reads "
+                    "that pass the step-1 telomere filter at TRC 0.7.",
     )
-    p.add_argument("--inputDir", type=str, help="Path to the input folder directory")
-    p.add_argument("--outputDir", type=str, help="Path to the output folder directory")
+    p.add_argument("--inputDir", type=str,
+                   help="FASTA/FASTQ file, or a directory that is walked for them")
+    p.add_argument("--outputDir", type=str,
+                   help="Directory where the PNGs (and optional CSVs) are written")
     p.add_argument("--pattern", metavar="CHAR", type=str, required=True,
-                   help="Required, Telomere repeat sequence (in 5' to 3' orientation). For e.g., in human use CCCTAA")
+                   help="Telomere repeat unit, 5'->3' (e.g. CCCTAAA for "
+                        "A. thaliana; CCCTAA for human)")
     p.add_argument("--minSeqLength", type=int, default=9000,
-                   help="Minimum of long read sequence, default = 9kbp")
+                   help="Reads at or below this length (bp) are ignored "
+                        "(default 9000)")
     p.add_argument("--telophrase", nargs="+", type=int,
-                   help="Length of telomere k-mer to search. By default will use telomere k-mer length minus 2")
+                   help="k-mer length(s) for the filter/heatmap; defaults to "
+                        "len(pattern)-2 when omitted")
     p.add_argument("--recfindingpattern", action="store_true",
-                   help="Optional, use this to plot the heatmap of patterns vs match")
+                   help="Also draw the rotation-vs-following-bases heatmap "
+                        "(useful for discovering/verifying the repeat unit)")
     p.add_argument("--rawcount", action="store_true",
-                   help="Optional, save raw count results to CSV for flexibility of plotting")
+                   help="Write each heatmap's underlying count table as "
+                        "heatmap_rawcount_{i}.csv next to the PNG")
     return p
 
 
@@ -82,24 +91,24 @@ def main(argv=None) -> int:
         if _filter_file(seq_loc, tmp, args.pattern, telo_phrases[0], args.minSeqLength):
             filtered_files.append(tmp)
 
-    print("Loaded all data, start plotting")
+    print(f"Step-1 filtering done: {len(filtered_files)} file(s) kept; drawing plots")
 
     from topsicle_tpu.plots.overview import descriptive_plot, patterns_vs_match_heatmap
 
     for i, seq_loc in enumerate(filtered_files, start=1):
-        print(f"Descriptive plot on: {seq_loc}")
+        print(f"Drawing descriptive plot for {seq_loc}")
         fig = descriptive_plot(seq_loc, pattern=args.pattern,
                                min_seq_length=args.minSeqLength)
         fig.savefig(f"{args.outputDir}/descriptive_plot_{i}.png", format="png", dpi=300)
         import matplotlib.pyplot as plt
 
         plt.close(fig)
-    print(f"Descriptive plot is in here: {args.outputDir}")
+    print(f"Descriptive plot PNG(s) written to {args.outputDir}")
 
     if args.recfindingpattern:
         for i, seq_loc in enumerate(filtered_files, start=1):
             for phrase in telo_phrases:
-                print(f"Heatmap on {seq_loc}")
+                print(f"Drawing heatmap for {seq_loc} (k={phrase})")
                 fig, df = patterns_vs_match_heatmap(
                     seq_loc, args.pattern, phrase, args.minSeqLength
                 )
@@ -109,14 +118,14 @@ def main(argv=None) -> int:
                 plt.close(fig)
                 if args.rawcount:
                     csv_path = f"{args.outputDir}/heatmap_rawcount_{i}.csv"
-                    print(f"Saving raw count of heatmap to {csv_path}")
+                    print(f"Writing heatmap count table to {csv_path}")
                     df.to_csv(csv_path, index=False)
-    print(f"Heatmap is in here: {args.outputDir}")
+        print(f"Heatmap PNG(s) written to {args.outputDir}")
 
     for f in filtered_files:
         if os.path.exists(f):
             os.remove(f)
-            print("clean up temp files")
+            print(f"Removed temp filtered file {f}")
     return 0
 
 
