@@ -142,3 +142,24 @@ def test_garbage_file_yields_no_reads(tmp_path):
     res = JaxEngine(TopsicleConfig(input_dir=str(d), output_dir=str(out),
                                    pattern="CCCTAAA", slide=6)).run()
     assert res == []
+
+
+def test_ends_batch_flat_matches_per_read():
+    """Vectorized block-level ends assembly (io.batch.ends_batch_flat)
+    must equal the per-read ends_batch/extract_ends path exactly,
+    including short-read padding and the reversed end row."""
+    import numpy as np
+
+    from topsicle_tpu.io import batch as batching
+
+    rng = np.random.default_rng(3)
+    reads = [rng.integers(0, 5, int(n), dtype=np.uint8)
+             for n in rng.integers(20, 2500, 41)]
+    flat = np.concatenate(reads)
+    offs = np.zeros(len(reads) + 1, np.int64)
+    offs[1:] = np.cumsum([len(r) for r in reads])
+    for no_bp in (1000, 64, 7):
+        want = batching.ends_batch(reads, no_bp)
+        got, n = batching.ends_batch_flat(flat, offs, no_bp)
+        assert (got == want).all()
+        assert (n == np.minimum([len(r) for r in reads], no_bp)).all()

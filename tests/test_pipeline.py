@@ -103,11 +103,49 @@ def test_config_k_bounds():
     TopsicleConfig(telophrase=[14], **base).validate()      # 2*len -> ok
     with pytest.raises(ValueError):                         # > 2*len
         TopsicleConfig(telophrase=[15], **base).validate()
-    with pytest.raises(ValueError):                         # device k cap
+    # k > 15 in files mode falls back to the host oracle path per
+    # phrase (pipeline._model), so validate accepts it...
+    TopsicleConfig(pattern="CCCTAAACCCTAAA", telophrase=[16],
+                   input_dir="x", output_dir="y").validate()
+    with pytest.raises(ValueError):  # ...but global lockstep mode cannot
         TopsicleConfig(pattern="CCCTAAACCCTAAA", telophrase=[16],
+                       shard_mode="global",
                        input_dir="x", output_dir="y").validate()
     with pytest.raises(ValueError):                         # k >= windowSize
         TopsicleConfig(telophrase=[10], window_size=10, **base).validate()
+
+
+def test_threads_byte_identity(tmp_path):
+    """--threads N runs N concurrent file readers; the device still
+    consumes files in order, so the CSV must be byte-identical at any
+    thread count."""
+    rng = random.Random(31)
+    d = tmp_path / "in"
+    d.mkdir()
+    for f in range(5):
+        _write_synthetic_fastq(str(d / f"f{f}.fastq.gz"), rng, n_reads=6)
+    outs = []
+    for th in (1, 2, 4):
+        cfg = TopsicleConfig(input_dir=str(d), output_dir=str(tmp_path / f"t{th}"),
+                             pattern="CCCTAAA", slide=6, batch_size=8, threads=th)
+        JaxEngine(cfg).run()
+        outs.append((tmp_path / f"t{th}" / "telolengths_all.csv").read_bytes())
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0].count(b"\n") > 1   # non-trivial output
+
+
+def test_jax_engine_k16_oracle_fallback(tmp_path):
+    """telophrase 16 > MAX_ROLLING_K: the JAX engine must swap in the
+    host oracle model for that phrase (instead of erroring the run) and
+    still match the oracle engine byte-for-byte."""
+    rng = random.Random(5)
+    data = tmp_path / "s.fastq.gz"
+    _write_synthetic_fastq(str(data), rng, n_reads=8, pattern="CCCTAAACC")
+    kw = dict(input_dir=str(data), pattern="CCCTAAACC", telophrase=[16])
+    JaxEngine(TopsicleConfig(output_dir=str(tmp_path / "j"), batch_size=4, **kw)).run()
+    OracleEngine(TopsicleConfig(output_dir=str(tmp_path / "o"), **kw)).run()
+    assert (tmp_path / "j" / "telolengths_all.csv").read_bytes() == \
+           (tmp_path / "o" / "telolengths_all.csv").read_bytes()
 
 
 def test_jax_engine_multi_k(tmp_path):

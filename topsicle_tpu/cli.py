@@ -55,7 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--override", "-ov", action="store_true",
                    help="Replace an existing non-empty telolengths_all.csv; subset files are reused")
     p.add_argument("--threads", "-t", metavar="INT", type=int, default=None,
-                   help="Number of CPU cores to use for host-side IO (by default, all available cores)")
+                   help="Host parse/encode workers: up to N input files are read "
+                        "concurrently (the current one plus N-1 ahead of the device). "
+                        "Default: all available cores; 1 = fully serial")
     # --- TPU runtime (no reference analog) ---
     p.add_argument("--engine", choices=["jax", "oracle"], default="jax",
                    help="Compute engine: 'jax' (TPU/accelerator) or 'oracle' (pure-CPU reference semantics)")

@@ -96,6 +96,19 @@ class TopsicleConfig:
         # also falls back to len(pattern).  Replicated.
         return int(self.slide) if self.slide else len(self.pattern)
 
+    def threads_value(self) -> int:
+        """Host parse/encode worker count: up to this many input files
+        are read/encoded concurrently (each on its own bounded reader
+        thread), the current file plus N-1 ahead.  Default resolves like
+        the reference's core count (sched_getaffinity -> cpu_count,
+        main.py:168-177); 1 = fully serial, no cross-file read-ahead."""
+        if self.threads:
+            return max(1, int(self.threads))
+        try:
+            return max(1, len(os.sched_getaffinity(0)))
+        except (AttributeError, OSError):
+            return max(1, os.cpu_count() or 1)
+
     def min_cutoff(self) -> float:
         """Step-1 filter threshold: min of the cutoff list (main.py:56)."""
         cs = _as_list(self.cutoff)
@@ -157,11 +170,15 @@ class TopsicleConfig:
                 )
             if k < 1:
                 raise ValueError(f"telophrase must be >= 1, got {k}")
-            if self.engine == "jax" and k > 15:
-                # device rolling codes are base-4 int32 (ops.match.MAX_ROLLING_K)
+            if self.engine == "jax" and k > 15 and self.shard_mode == "global":
+                # device rolling codes are base-4 int32
+                # (ops.match.MAX_ROLLING_K).  Files mode auto-falls back
+                # to the host oracle path per phrase (pipeline._model);
+                # global lockstep mode has no host fallback, so refuse.
                 raise ValueError(
                     f"telophrase {k} exceeds the device engine's k-mer "
-                    "capacity (15); use --engine oracle for longer k-mers"
+                    "capacity (15); shardMode=global cannot fall back to "
+                    "the host path — use shardMode=files or --engine oracle"
                 )
             if k >= self.window_size:
                 raise ValueError(

@@ -38,6 +38,30 @@ def ends_batch(code_list: Sequence[np.ndarray], no_bp: int) -> np.ndarray:
     return out
 
 
+def ends_batch_flat(codes_flat: np.ndarray, offs: np.ndarray,
+                    no_bp: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized step-1 ends assembly straight from a block's flat
+    codes + offsets (no per-read Python loop): returns (ends [B, 2,
+    no_bp] uint8, ends_len [B] int32) for the B = len(offs)-1 reads.
+
+    Row 0 is seq[:n], row 1 the REVERSED seq[-n:][::-1] with n =
+    min(len, no_bp); positions past n are PAD_BYTE — identical to
+    ends_batch(extract_ends) (allsteps.py:176-177 semantics)."""
+    starts = offs[:-1]
+    lens = (offs[1:] - starts)
+    B = len(starts)
+    n = np.minimum(lens, no_bp)
+    j = np.arange(no_bp)
+    valid = j[None, :] < n[:, None]
+    hi = codes_flat.size - 1 if codes_flat.size else 0
+    idx_f = np.clip(starts[:, None] + j[None, :], 0, hi)
+    idx_r = np.clip((starts + lens)[:, None] - 1 - j[None, :], 0, hi)
+    out = np.empty((B, 2, no_bp), np.uint8)
+    out[:, 0, :] = np.where(valid, codes_flat[idx_f], PAD_BYTE)
+    out[:, 1, :] = np.where(valid, codes_flat[idx_r], PAD_BYTE)
+    return out, n.astype(np.int32)
+
+
 def extract_tail(codes: np.ndarray, tail: str, trimfirst: int,
                  maxlengthtelo: int) -> np.ndarray:
     """The step-2 scan slice: seq[trimfirst:maxc] (forward) or

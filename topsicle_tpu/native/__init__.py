@@ -6,6 +6,7 @@ callers fall back to the pure-Python reader transparently
 (pipeline honors TopsicleConfig.native_io)."""
 
 from topsicle_tpu.native.loader import (  # noqa: F401
+    Block,
     NativeReader,
     native_available,
     write_subset_native,

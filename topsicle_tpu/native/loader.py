@@ -73,9 +73,29 @@ def native_available() -> bool:
     return _lib() is not None
 
 
+class Block:
+    """One parsed block: `ids` (list of read IDs), `codes` (flat uint8
+    code array owned by this block), `offs` (int64 offsets, read i =
+    codes[offs[i]:offs[i+1]])."""
+
+    __slots__ = ("ids", "codes", "offs")
+
+    def __init__(self, ids: List[str], codes: np.ndarray, offs: np.ndarray):
+        self.ids = ids
+        self.codes = codes
+        self.offs = offs
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+
 class NativeReader:
-    """Streams (read_id, codes ndarray) for eligible reads
-    (len > min_len), decoded/encoded in C++."""
+    """Streams eligible reads (len > min_len), decoded/encoded in C++.
+
+    `iter_blocks()` is the fast path: one buffer copy + one queue item
+    per block instead of per read (the round-2 per-read slice loop was
+    the host bottleneck on fast-transfer deployments).  `__iter__`
+    keeps the per-read API for callers that want it."""
 
     def __init__(self, path: str, min_len: int, batch_reads: int = 512,
                  codes_cap: int = 64 << 20):
@@ -90,7 +110,10 @@ class NativeReader:
         self.batch_reads = batch_reads
         self.codes_cap = codes_cap
 
-    def __iter__(self) -> Iterator[Tuple[str, np.ndarray]]:
+    def iter_blocks(self) -> Iterator[Block]:
+        """Yield Blocks of up to batch_reads reads; the block's codes
+        array is freshly owned (the scratch buffer is reused), so
+        callers may hold blocks across iterations."""
         lib = self._lib
         codes = np.empty(self.codes_cap, dtype=np.uint8)
         offs = np.empty(self.batch_reads + 1, dtype=np.int64)
@@ -116,9 +139,15 @@ class NativeReader:
             if n < 0:
                 raise IOError("native reader failed")
             raw_ids = ids.raw
-            for i in range(n):
-                rid = raw_ids[id_offs[i]:id_offs[i + 1]].decode()
-                yield rid, codes[offs[i]:offs[i + 1]].copy()
+            rid_list = [raw_ids[id_offs[i]:id_offs[i + 1]].decode()
+                        for i in range(n)]
+            yield Block(rid_list, codes[: offs[n]].copy(),
+                        offs[: n + 1].copy())
+
+    def __iter__(self) -> Iterator[Tuple[str, np.ndarray]]:
+        for blk in self.iter_blocks():
+            for i, rid in enumerate(blk.ids):
+                yield rid, blk.codes[blk.offs[i]:blk.offs[i + 1]].copy()
 
     def close(self) -> None:
         if self._h is not None:

@@ -93,13 +93,13 @@ class GlobalScanModel:
 
         return jax.make_array_from_process_local_data(sharding, local)
 
-    def step1_counts_global(self, local_ends: np.ndarray,
-                            local_len: np.ndarray,
-                            dense: bool = False) -> np.ndarray:
-        """[B_local, 2, no_bp] uint8 codes + [B_local] lengths ->
-        [B_global, 2, K] int32 counts, replicated (B_global = B_local *
-        n_proc; all processes must call with equal B_local and the SAME
-        `dense` flag — agree via any_process_has_data on cleanliness)."""
+    def step1_counts_global_launch(self, local_ends: np.ndarray,
+                                   local_len: np.ndarray,
+                                   dense: bool = False):
+        """Async variant: dispatches the global step-1 program and
+        returns the (replicated) device array WITHOUT syncing, so the
+        engine can keep a batch in flight while the hosts build the
+        next one (sync with np.asarray)."""
         from topsicle_tpu.io import batch as batching
 
         B = local_ends.shape[0]
@@ -107,17 +107,28 @@ class GlobalScanModel:
             p, m = batching.pack_batch(local_ends.reshape(B * 2, -1))
             g_ends = self._globalize(self._shard3, p.reshape(B, 2, -1))
             g_mask = self._globalize(self._shard3, m.reshape(B, 2, -1))
-            return np.asarray(self._step1_dense(g_ends, g_mask, self.base.table))
+            return self._step1_dense(g_ends, g_mask, self.base.table)
         p = batching.pack_codes(local_ends.reshape(B * 2, -1)).reshape(B, 2, -1)
         g_ends = self._globalize(self._shard3, p)
         g_len = self._globalize(self._shard, local_len.astype(np.int32))
-        return np.asarray(self._step1(g_ends, g_len, self.base.table))
+        return self._step1(g_ends, g_len, self.base.table)
 
-    def step2_boundary_global(self, local_tails: np.ndarray,
-                              local_nw: np.ndarray, local_lens: np.ndarray,
-                              dense: bool = False
-                              ) -> Tuple[np.ndarray, np.ndarray]:
-        """[B_local, L] uint8 codes -> global (t, has), replicated."""
+    def step1_counts_global(self, local_ends: np.ndarray,
+                            local_len: np.ndarray,
+                            dense: bool = False) -> np.ndarray:
+        """[B_local, 2, no_bp] uint8 codes + [B_local] lengths ->
+        [B_global, 2, K] int32 counts, replicated (B_global = B_local *
+        n_proc; all processes must call with equal B_local and the SAME
+        `dense` flag — agree via any_process_has_data on cleanliness)."""
+        return np.asarray(self.step1_counts_global_launch(
+            local_ends, local_len, dense=dense))
+
+    def step2_boundary_global_launch(self, local_tails: np.ndarray,
+                                     local_nw: np.ndarray,
+                                     local_lens: np.ndarray,
+                                     dense: bool = False):
+        """Async variant of step2_boundary_global: returns (t, has)
+        device arrays without syncing."""
         from topsicle_tpu.io import batch as batching
 
         g_nw = self._globalize(self._shard, local_nw.astype(np.int32))
@@ -125,12 +136,19 @@ class GlobalScanModel:
             p, m = batching.pack_batch(local_tails)
             g_tails = self._globalize(self._shard2, p)
             g_mask = self._globalize(self._shard2, m)
-            t, has = self._step2_dense(g_tails, g_mask, g_nw, self.base.table)
-        else:
-            p = batching.pack_codes(local_tails)
-            g_tails = self._globalize(self._shard2, p)
-            g_lens = self._globalize(self._shard, local_lens.astype(np.int32))
-            t, has = self._step2(g_tails, g_lens, g_nw, self.base.table)
+            return self._step2_dense(g_tails, g_mask, g_nw, self.base.table)
+        p = batching.pack_codes(local_tails)
+        g_tails = self._globalize(self._shard2, p)
+        g_lens = self._globalize(self._shard, local_lens.astype(np.int32))
+        return self._step2(g_tails, g_lens, g_nw, self.base.table)
+
+    def step2_boundary_global(self, local_tails: np.ndarray,
+                              local_nw: np.ndarray, local_lens: np.ndarray,
+                              dense: bool = False
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+        """[B_local, L] uint8 codes -> global (t, has), replicated."""
+        t, has = self.step2_boundary_global_launch(
+            local_tails, local_nw, local_lens, dense=dense)
         return np.asarray(t), np.asarray(has)
 
     def my_rows(self, global_arr: np.ndarray, B_local: int) -> np.ndarray:

@@ -64,6 +64,25 @@ class JaxEngine:
             import jax
 
             from topsicle_tpu.models import TelomereScanModel
+            from topsicle_tpu.ops.match import MAX_ROLLING_K
+
+            if phrase > MAX_ROLLING_K:
+                # the reference's regex matcher has no k cap
+                # (allsteps.py:182-183); phrases past the device
+                # rolling-code capacity fall back to the host oracle
+                # path for that phrase only, instead of erroring the run
+                from topsicle_tpu.models.oracle_model import OracleScanModel
+
+                self.log(
+                    f"WARNING: telophrase {phrase} exceeds the device "
+                    f"k-mer capacity ({MAX_ROLLING_K}); computing this "
+                    "phrase on the host oracle path (slower)")
+                self._models[phrase] = OracleScanModel(
+                    kmers,
+                    window_size=self.cfg.window_size,
+                    slide=self.cfg.slide_value(),
+                )
+                return self._models[phrase]
 
             model = TelomereScanModel(
                 kmers,
@@ -108,33 +127,31 @@ class JaxEngine:
             # dropped; the run's own batches queue behind them, so no
             # explicit sync is ever needed
             self._warm_futs = futs
-        except Exception:
-            pass
+        except Exception as e:
+            # a permanently broken warmup would silently negate the
+            # compile-overlap mitigation — keep it visible (ADVICE r2)
+            self.log(f"warmup dispatch failed ({type(e).__name__}: {e}); "
+                     "first real batch will absorb compile time")
 
     # -- step 1 ------------------------------------------------------------
-    def _select_hits(self, counts: np.ndarray, kmers: Sequence[str], cutoff: float
-                     ) -> List[Optional[Tuple[str, str, float]]]:
-        """Host-side f64 TRC selection from device counts [B, 2, K]:
-        per-end argmax (first of equals in table order), forward only on
-        strict '>', keep on strict TRC > cutoff."""
+    def _select_hits(self, counts: np.ndarray, cutoff: float
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Host-side f64 TRC selection from device counts [B, 2, K],
+        fully vectorized (no per-read Python loop): per-end argmax
+        (numpy argmax = first-of-equals in table order, matching Python
+        max(), allsteps.py:190-193), forward only on strict '>', keep on
+        strict TRC > cutoff.  Returns (keep [B] bool, kmer_idx [B],
+        is_forward [B] bool, trc [B] f64)."""
         ratio = self.cfg.no_bp / len(self.cfg.pattern)
-        # vectorized over the batch; numpy argmax = first-of-equals in
-        # table order, matching Python max() (allsteps.py:190-193)
         js = np.argmax(counts[:, 0, :], axis=1)
         je = np.argmax(counts[:, 1, :], axis=1)
         b = np.arange(counts.shape[0])
         trc_s = counts[b, 0, js].astype(np.float64) / ratio
         trc_e = counts[b, 1, je].astype(np.float64) / ratio
         fwd = trc_s > trc_e
-        out: List[Optional[Tuple[str, str, float]]] = []
-        for i in range(counts.shape[0]):
-            if fwd[i]:
-                out.append((kmers[js[i]], "forward", float(trc_s[i]))
-                           if trc_s[i] > cutoff else None)
-            else:
-                out.append((kmers[je[i]], "reverse", float(trc_e[i]))
-                           if trc_e[i] > cutoff else None)
-        return out
+        trc = np.where(fwd, trc_s, trc_e)
+        sel_j = np.where(fwd, js, je)
+        return trc > cutoff, sel_j, fwd, trc
 
     def _use_native(self) -> bool:
         if self.cfg.native_io is False:
@@ -148,84 +165,112 @@ class JaxEngine:
             raise RuntimeError("native_io requested but the C++ IO library is unavailable")
         return ok
 
-    def _iter_eligible(self, path: str):
-        """(read_id, codes) for reads with len > minSeqLength, via the
+    def _iter_blocks(self, path: str):
+        """Blocks of up to batch_size eligible reads (len >
+        minSeqLength) — one flat code array + offsets per block, via the
         C++ loader when available (gzip inflate + parse + encode in one
-        native pass), else the pure-Python reader.  Read-level failures
-        (truncated gzip, malformed records) surface as InputFileError so
-        the run can skip the file instead of dying."""
+        native pass), else the pure-Python reader.  Block granularity
+        keeps the host path vectorized end-to-end (no per-read slice/
+        copy/queue work).  Read-level failures (truncated gzip,
+        malformed records) surface as InputFileError so the run can skip
+        the file instead of dying."""
+        from topsicle_tpu.native.loader import Block
+
         cfg = self.cfg
+        Bblk = cfg.batch_size
         try:
             if self._use_native():
                 from topsicle_tpu.native import NativeReader
 
-                yield from NativeReader(path, cfg.min_seq_length)
+                rd = NativeReader(path, cfg.min_seq_length, batch_reads=Bblk)
+                try:
+                    yield from rd.iter_blocks()
+                finally:
+                    rd.close()
                 return
+            ids: List[str] = []
+            chunks: List[np.ndarray] = []
+            offs = [0]
             for rec in reader.parse_records(path):
                 if len(rec.seq) > cfg.min_seq_length:
-                    yield rec.id, batching.encode_read(rec.seq)
+                    c = batching.encode_read(rec.seq)
+                    ids.append(rec.id)
+                    chunks.append(c)
+                    offs.append(offs[-1] + len(c))
+                    if len(ids) >= Bblk:
+                        yield Block(ids, np.concatenate(chunks),
+                                    np.asarray(offs, np.int64))
+                        ids, chunks, offs = [], [], [0]
+            if ids:
+                yield Block(ids, np.concatenate(chunks),
+                            np.asarray(offs, np.int64))
         except (OSError, EOFError, UnicodeDecodeError, ValueError, MemoryError,
                 zlib.error) as e:
             raise reader.InputFileError(path, e) from e
 
     def _read_source(self, path: str):
         """Eager background parse/encode of one file, bounded by ~2
-        batches of reads (utils.prefetch.Prefetcher starts immediately,
-        so sources created one file ahead overlap the previous file's
-        device work — the reference's --threads fan-out, as read-ahead)."""
+        blocks (= ~2 device batches) of reads (utils.prefetch.Prefetcher
+        starts immediately, so sources created ahead overlap the current
+        file's device work — the reference's --threads fan-out, as a
+        reader pool)."""
         from topsicle_tpu.utils.prefetch import Prefetcher
 
-        return Prefetcher(self._iter_eligible(path), depth=2 * self.cfg.batch_size)
+        return Prefetcher(self._iter_blocks(path), depth=2)
 
     def _step1_file(self, path: str, kmers: Sequence[str], model,
                     source=None) -> List[_Passer]:
         """Streaming step 1 with batches kept in flight: the device
-        computes batch i while the host parses/encodes batch i+1."""
+        computes block i while the host parses/encodes block i+1.  One
+        block = one device batch; ends assembly and TRC selection are
+        vectorized over the whole block (no per-read host loop on the
+        hot path — only passing reads touch Python, for tail slicing)."""
         cfg = self.cfg
         cutoff = cfg.min_cutoff()
         B = cfg.batch_size
         depth = 2
         passers: List[_Passer] = []
-        buf: List[Tuple[int, str, np.ndarray]] = []
-        pending = []  # [(rows, device_counts)]
+        pending = []  # [(order0, block, device_counts)]
 
         def drain_one():
-            rows, fut = pending.pop(0)
-            counts = np.asarray(fut)[: len(rows)]
-            for (order, rid, codes), hit in zip(rows, self._select_hits(counts, kmers, cutoff)):
-                if hit is not None:
-                    km, tail, trc = hit
-                    passers.append(
-                        _Passer(
-                            order, rid, km, tail, trc,
-                            batching.extract_tail(codes, tail, cfg.trimfirst, cfg.maxlengthtelo),
-                            len(codes),
-                        )
+            order0, blk, fut = pending.pop(0)
+            counts = np.asarray(fut)[: len(blk)]
+            keep, sel_j, fwd, trc = self._select_hits(counts, cutoff)
+            offs = blk.offs
+            for i in np.nonzero(keep)[0]:
+                i = int(i)
+                codes = blk.codes[offs[i]:offs[i + 1]]
+                tail = "forward" if fwd[i] else "reverse"
+                passers.append(
+                    _Passer(
+                        order0 + i, blk.ids[i], kmers[int(sel_j[i])], tail,
+                        float(trc[i]),
+                        # .copy(): drop the reference into the block's
+                        # flat buffer so non-passing reads are freed
+                        batching.extract_tail(
+                            codes, tail, cfg.trimfirst, cfg.maxlengthtelo
+                        ).copy(),
+                        int(offs[i + 1] - offs[i]),
                     )
+                )
 
-        def flush():
-            if not buf:
-                return
-            n = len(buf)
-            ends = batching.ends_batch([c for _, _, c in buf], cfg.no_bp)
+        # parse/encode ahead on a reader thread (bounded by ~2 blocks)
+        if source is None:
+            source = self._read_source(path)
+        order = 0
+        for blk in source:
+            n = len(blk)
+            ends, ends_len_blk = batching.ends_batch_flat(
+                blk.codes, blk.offs, cfg.no_bp)
             ends_len = np.zeros(B, np.int32)
-            ends_len[:n] = [min(len(c), cfg.no_bp) for _, _, c in buf]
+            ends_len[:n] = ends_len_blk
             if n < B:  # pad to the static batch shape
                 pad = np.full((B - n, 2, cfg.no_bp), 0xFF, np.uint8)
                 ends = np.concatenate([ends, pad], axis=0)
-            pending.append((list(buf), model.step1_counts_launch(ends, ends_len)))
-            buf.clear()
+            pending.append((order, blk, model.step1_counts_launch(ends, ends_len)))
+            order += n
             if len(pending) > depth:
                 drain_one()
-
-        # parse/encode ahead on a reader thread (bounded by ~2 batches)
-        if source is None:
-            source = self._read_source(path)
-        for order, (rid, codes) in enumerate(source):
-            buf.append((order, rid, codes))
-            if len(buf) >= B:
-                flush()
-        flush()
         while pending:
             drain_one()
         return passers
@@ -370,8 +415,10 @@ class JaxEngine:
         hosts whose streams run dry keep feeding empty shards until every
         stream is dry.  Per-read extras (--plot / --rawcountpattern) run
         locally per owned file, numbered in row order like files mode.
-        Returns {file_idx: (label, [row, ...], [trc, ...], [telo, ...])}
-        for this process, rows in input-read order per file."""
+        Returns ({file_idx: (label, [row, ...], [trc, ...], [telo, ...])},
+        failed_file_idxs) for this process; failed files (unreadable
+        input, subset write error) carry no rows and must stay un-done so
+        --resume retries them (same semantics as files mode)."""
         import jax
 
         from topsicle_tpu.models.telomere import TelomereScanModel, _batch_is_clean
@@ -388,30 +435,65 @@ class JaxEngine:
             kmers, window_size=cfg.window_size, slide=cfg.slide_value())
         gmodel = GlobalScanModel(base)
 
-        # static scan length => identical global shapes on every process
-        # and one compile for the whole run
-        L_static = max(
-            cfg.length_bucket_quantum,
-            -(-(cfg.maxlengthtelo - cfg.trimfirst) // cfg.length_bucket_quantum)
-            * cfg.length_bucket_quantum,
-        )
+        # Lockstep requires identical global shapes on every process and
+        # one compile for the whole run, so global mode always pads to
+        # the static scan length; "bucket" mode cannot be honored here.
+        L_static = cfg.static_scan_length()
+        if L_static is None:
+            self.log("shardMode=global requires one static scan length; "
+                     "--scanLengthMode bucket is not honored in this mode")
+            q = cfg.length_bucket_quantum
+            span = max(1, cfg.maxlengthtelo - cfg.trimfirst)
+            L_static = max(q, -(-span // q) * q)
+
+        failed: set = set()
 
         def stream():
             for file_idx, path in local_files:
                 try:
                     src = self._read_source(path)
                     try:
-                        for order, (rid, codes) in enumerate(src):
-                            yield file_idx, path, order, rid, codes
+                        order = 0
+                        for blk in src:
+                            offs = blk.offs
+                            for i, rid in enumerate(blk.ids):
+                                yield (file_idx, path, order + i, rid,
+                                       blk.codes[offs[i]:offs[i + 1]])
+                            order += len(blk)
                     finally:
                         src.close()
                 except reader.InputFileError as e:
+                    failed.add(file_idx)
                     self.log(f"ERROR: {e}; skipping this file")
 
-        # ---- step 1, lockstep global batches -----------------------------
+        # ---- step 1, lockstep global batches, depth-2 pipelined ----------
+        # While batch i executes on the mesh, every host builds batch
+        # i+1 and runs its (tiny) control-word allgather; batch i is
+        # synced only after i+1 has been dispatched — matching files
+        # mode's batches-in-flight shape (round-2 weakness: global mode
+        # was strictly one-batch-at-a-time).
         it = stream()
         passers: List[Tuple[int, str, _Passer]] = []   # (file_idx, path, passer)
         exhausted = False
+
+        def drain_step1(buf, fut):
+            mine = gmodel.my_rows(np.asarray(fut), B_local)[: len(buf)]
+            if not len(buf):
+                return
+            keep, sel_j, fwd, trc = self._select_hits(mine, cutoff)
+            for i in np.nonzero(keep)[0]:
+                i = int(i)
+                file_idx, path, order, rid, codes = buf[i]
+                tail = "forward" if fwd[i] else "reverse"
+                passers.append((file_idx, path, _Passer(
+                    order, rid, kmers[int(sel_j[i])], tail, float(trc[i]),
+                    # .copy(): codes is a view into the block buffer
+                    batching.extract_tail(codes, tail, cfg.trimfirst,
+                                          cfg.maxlengthtelo).copy(),
+                    len(codes),
+                )))
+
+        prev1 = None    # (buf, in-flight device counts)
         while True:
             buf = []
             while len(buf) < B_local and not exhausted:
@@ -429,36 +511,63 @@ class JaxEngine:
             clean = _batch_is_clean(
                 ends.reshape(B_local * 2, -1), np.repeat(ends_len, 2))
             word = or_across_processes(np.array([len(buf) > 0, not clean]))
-            if not word[0]:
+            fut = None
+            if word[0]:
+                fut = gmodel.step1_counts_global_launch(
+                    ends, ends_len, dense=bool(word[1]))
+            if prev1 is not None:
+                drain_step1(*prev1)
+            if fut is None:
                 break
-            counts = gmodel.step1_counts_global(ends, ends_len, dense=bool(word[1]))
-            mine = gmodel.my_rows(counts, B_local)[: len(buf)]
-            for (file_idx, path, order, rid, codes), hit in zip(
-                    buf, self._select_hits(mine, kmers, cutoff)):
-                if hit is not None:
-                    km, tail, trc = hit
-                    passers.append((file_idx, path, _Passer(
-                        order, rid, km, tail, trc,
-                        batching.extract_tail(codes, tail, cfg.trimfirst,
-                                              cfg.maxlengthtelo),
-                        len(codes),
-                    )))
+            prev1 = (buf, fut)
 
         # subset files (resume artifact) for this process's files
         by_file: Dict[int, List[Tuple[str, _Passer]]] = {}
         for file_idx, path, p in passers:
             by_file.setdefault(file_idx, []).append((path, p))
         for file_idx, path in local_files:
+            if file_idx in failed:
+                continue
             entries = by_file.get(file_idx, [])
             try:
                 self._write_subset(path, {p.read_id for _, p in entries})
             except reader.InputFileError as e:
+                # the subset is the resume artifact: treat its failure
+                # like files mode does (unit stays un-done, rows dropped)
+                failed.add(file_idx)
                 self.log(f"ERROR: {e}; subset not written")
 
-        # ---- step 2, lockstep global batches -----------------------------
+        # failed files contribute no rows: their units stay un-done so a
+        # later --resume recomputes them in full (ADVICE r2: marking them
+        # done with 0 rows would permanently skip their reads)
+        if failed:
+            passers = [e for e in passers if e[0] not in failed]
+
+        # ---- step 2, lockstep global batches, depth-2 pipelined ----------
         rows: Dict[int, tuple] = {}   # file_idx -> (label, rows, trcs, telos)
         extras: Dict[int, list] = {}  # file_idx -> [(passer, bound), ...]
         want_extras = cfg.plot or cfg.rawcountpattern
+
+        def drain_step2(group, fut):
+            t, has = (np.asarray(x) for x in fut)
+            t_mine = gmodel.my_rows(t, B_local)
+            has_mine = gmodel.my_rows(has, B_local)
+            for j, (file_idx, path, p) in enumerate(group):
+                maxc = min(cfg.maxlengthtelo, p.seq_len)
+                b = int(cfg.trimfirst + cfg.slide_value() * int(t_mine[j])) \
+                    if has_mine[j] else 0
+                if b == 0 or b > maxc:
+                    b = 0
+                lbl = writer.file_label(path)
+                entry = rows.setdefault(file_idx, (lbl, [], [], []))
+                entry[1].append([lbl, phrase, f"{p.trc:.3f}", p.read_id, b])
+                entry[2].append(float(p.trc))      # full precision for quadfit
+                entry[3].append(float(b))
+                if want_extras:
+                    extras.setdefault(file_idx, []).append((p, b))
+                timers.count(reads=1, bases=p.seq_len)
+
+        prev2 = None    # (group, in-flight device (t, has))
         pos = 0
         while True:
             group = passers[pos : pos + B_local]
@@ -481,26 +590,15 @@ class JaxEngine:
                 lens, cfg.window_size, cfg.slide_value())
             clean = _batch_is_clean(codes, lens)
             word = or_across_processes(np.array([len(group) > 0, not clean]))
-            if not word[0]:
+            fut = None
+            if word[0]:
+                fut = gmodel.step2_boundary_global_launch(
+                    codes, n_windows, lens, dense=bool(word[1]))
+            if prev2 is not None:
+                drain_step2(*prev2)
+            if fut is None:
                 break
-            t, has = gmodel.step2_boundary_global(
-                codes, n_windows, lens, dense=bool(word[1]))
-            t_mine = gmodel.my_rows(t, B_local)
-            has_mine = gmodel.my_rows(has, B_local)
-            for j, (file_idx, path, p) in enumerate(group):
-                maxc = min(cfg.maxlengthtelo, p.seq_len)
-                b = int(cfg.trimfirst + cfg.slide_value() * int(t_mine[j])) \
-                    if has_mine[j] else 0
-                if b == 0 or b > maxc:
-                    b = 0
-                lbl = writer.file_label(path)
-                entry = rows.setdefault(file_idx, (lbl, [], [], []))
-                entry[1].append([lbl, phrase, f"{p.trc:.3f}", p.read_id, b])
-                entry[2].append(float(p.trc))      # full precision for quadfit
-                entry[3].append(float(b))
-                if want_extras:
-                    extras.setdefault(file_idx, []).append((p, b))
-                timers.count(reads=1, bases=p.seq_len)
+            prev2 = (group, fut)
 
         # per-read extras on this process's own files: chunked like files
         # mode (image numbers 1..n per file, row order)
@@ -515,7 +613,7 @@ class JaxEngine:
                         [p for p, _ in chunk], base, phrase,
                         [b for _, b in chunk], image_num)
                     image_num += len(chunk)
-        return rows
+        return rows, failed
 
     def _emit_kept_unit(self, csv_path: str, lbl: str, phrase: int, path: str,
                         manifest, kept_rows: Dict[tuple, List[tuple]],
@@ -649,7 +747,7 @@ class JaxEngine:
                     if cfg.resume:
                         todo = [(i, p) for i, p in local_files
                                 if not manifest.is_done(p, phrase)]
-                    rows_by_file = self._run_phrase_global(
+                    rows_by_file, failed_files = self._run_phrase_global(
                         phrase, kmers, todo, timers)
                     # canonical file-index order: resume-completed units
                     # re-emit kept rows, computed units write + mark done
@@ -660,6 +758,10 @@ class JaxEngine:
                             self._emit_kept_unit(csv_path, lbl, phrase, path,
                                                  manifest, kept_rows, results,
                                                  phrase_to_telo, phrase_to_trc)
+                            continue
+                        if file_idx in failed_files:
+                            # no part, no rows, no mark_done: the unit
+                            # stays un-done so --resume recomputes it
                             continue
                         _, rws, f_trcs, f_telos = rows_by_file.get(
                             file_idx, (lbl, [], [], []))
@@ -680,15 +782,27 @@ class JaxEngine:
 
                 model = self._model(phrase, kmers)
                 self.log("begin processing reads")
-                # Cross-file read-ahead: while file i drives the device, a
-                # bounded reader thread parses/encodes file i+1.  This is
+                # Cross-file read-ahead pool: while file i drives the
+                # device, up to threads-1 bounded reader threads parse/
+                # encode files i+1..i+threads-1 concurrently.  This is
                 # the TPU-native shape of the reference's fork pool over
-                # files (main.py:232-235); --threads 1 disables it.
-                lookahead = cfg.threads is None or cfg.threads >= 2
+                # files (main.py:232-235): same worker count semantics,
+                # but the device consumes files in order so the CSV is
+                # byte-identical at any thread count (tested at 1/2/4).
+                # --threads 1 = fully serial.
+                ahead = max(0, cfg.threads_value() - 1)
                 todo = [p for _, p in local_files
                         if not (cfg.resume and manifest.is_done(p, phrase))]
-                next_of = dict(zip(todo, todo[1:]))
+                todo_pos = {p: i for i, p in enumerate(todo)}
                 sources: Dict[str, object] = {}
+
+                def ensure_ahead(path):
+                    j = todo_pos.get(path)
+                    if j is None:
+                        return
+                    for q in todo[j + 1 : j + 1 + ahead]:
+                        if q not in sources:
+                            sources[q] = self._read_source(q)
                 try:
                   for file_idx, path in local_files:
                     lbl = writer.file_label(path)
@@ -700,9 +814,7 @@ class JaxEngine:
                         continue
 
                     src = sources.pop(path, None) or self._read_source(path)
-                    nxt = next_of.get(path)
-                    if lookahead and nxt is not None and nxt not in sources:
-                        sources[nxt] = self._read_source(nxt)
+                    ensure_ahead(path)
 
                     self.log("subsetting raw dataset based on TRC cutoff")
                     try:
