@@ -27,9 +27,11 @@ Measurements:
 - device-resident (the headline): one jitted program runs `iters`
   chained step1+step2 iterations inside lax.fori_loop (inputs
   XOR-perturbed by the loop index so loop-invariant code motion cannot
-  hoist the work); `iters` is a traced argument, so the short and long
-  chains share ONE compiled program and per-iter time is the slope
-  between them — dispatch latency and the D2H round trip cancel.
+  hoist the work); `iters` is a traced argument, so the short (4) and
+  long (516) chains share ONE compiled program and per-iter time is
+  the slope between them — dispatch latency and the D2H round trip
+  cancel.  The model's resolved production strategies (the scan-free
+  'sum' path on the default aperiodic table) are what get measured.
 - with transfers: the production launch path (host 2-bit pack ->
   transfer -> both stages -> per-batch result sync) with 4 batches in
   flight, as the engine runs it.
@@ -129,7 +131,8 @@ def _resident_measure(jax, batching, model, ep, el, tail_codes, lens, nw):
             # XOR by (i&1) perturbs real data so the body cannot be
             # hoisted out of the loop; both stages still do full work
             x = jnp.uint8(i & 1)
-            c = _step1_counts_lean(ep ^ x, el, table, k=K_PHRASE, greedy="chunked")
+            c = _step1_counts_lean(ep ^ x, el, table, k=K_PHRASE,
+                                   greedy=model.greedy_strategy)
             if use_pallas:
                 t, _ = _step2_boundary_pallas(
                     pp ^ x, piv, nw, table, k=K_PHRASE, K=model.K,
@@ -138,7 +141,8 @@ def _resident_measure(jax, batching, model, ep, el, tail_codes, lens, nw):
             else:
                 t, _ = _step2_boundary_lean(
                     pp ^ x, piv, nw, table, k=K_PHRASE, window_size=WINDOW,
-                    slide=SLIDE, jump=5, min_size=2)
+                    slide=SLIDE, jump=5, min_size=2,
+                    strategy=model.window_strategy)
             return acc + jnp.sum(c) + jnp.sum(t) + i
         return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
 
@@ -154,8 +158,11 @@ def _resident_measure(jax, batching, model, ep, el, tail_codes, lens, nw):
     print(f"[bench] resident probe warm after {startup_s:.1f}s; measuring",
           file=sys.stderr, flush=True)
 
+    # The scan-free sum path runs ~0.5 ms/iter; a 512-iter spread keeps
+    # the slope signal (~0.25 s) well above tunnel timing noise while a
+    # worst-case fallback path (~6 ms/iter) still fits the budget.
     n_small = int(os.environ.get("TOPSICLE_BENCH_CHAIN_SHORT", "4"))
-    n_big = int(os.environ.get("TOPSICLE_BENCH_CHAIN_LONG", "68"))
+    n_big = int(os.environ.get("TOPSICLE_BENCH_CHAIN_LONG", "516"))
     best = None
     for _ in range(3):
         t0 = time.time(); np.asarray(chain(*cargs, jnp.int32(n_small))); d_s = time.time() - t0
@@ -307,6 +314,7 @@ def main():
             "sync": "d2h-chained",
             "resident_ms_per_iter": resident["ms_per_iter"],
             "startup_s": resident["startup_s"],
+            "strategy": f"{model.window_strategy}/{model.greedy_strategy}",
         }
     elif xfer_mbps is not None:
         out = {

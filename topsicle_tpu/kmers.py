@@ -37,6 +37,31 @@ def telophrase_kmers(pattern: str, k: int) -> List[str]:
     return origin + [s.translate(COMPLEMENT_TABLE) for s in origin]
 
 
+def smallest_period(s: str) -> int:
+    """Smallest d >= 1 with s[i] == s[i+d] for all valid i (d == len(s)
+    when the string does not overlap itself at all)."""
+    n = len(s)
+    for d in range(1, n):
+        if s[d:] == s[:-d]:
+            return d
+    return n
+
+
+def all_aperiodic(kmers: Sequence[str]) -> bool:
+    """True iff no k-mer in the table self-overlaps (smallest period ==
+    its length).
+
+    Why this matters: if a k-mer is aperiodic, two of its matches in any
+    text are always >= k apart (a closer pair would force a period < k),
+    so `re.finditer`'s non-overlapping blocking can never skip a match —
+    greedy counting (allsteps.py:182-183 semantics) degenerates to plain
+    occurrence counting.  models.telomere uses this to select windowed
+    *sum* kernels (no sequential scan) when the whole table qualifies;
+    complementation preserves periods, so origin+complement tables
+    qualify together."""
+    return all(smallest_period(s) == len(s) for s in kmers)
+
+
 def patterns_to_search(pattern: Union[str, Sequence[str]], k: int) -> List[str]:
     """Reference-compatible entry point (allsteps.py:84-125).
 

@@ -26,7 +26,7 @@ import numpy as np
 
 from topsicle_tpu import ops
 from topsicle_tpu.io import batch as batching
-from topsicle_tpu.kmers import pack_kmer_table
+from topsicle_tpu.kmers import all_aperiodic, pack_kmer_table
 
 
 def _step1_counts(ends_packed, ends_invalid, table, *, k: int,
@@ -64,10 +64,20 @@ def _step2_signal(tail_packed, tail_invalid, table, *, k: int, window_size: int,
 def _step2_boundary(tail_packed, tail_invalid, n_windows, table, *, k: int,
                     window_size: int, slide: int, jump: int, min_size: int,
                     strategy: str = "offset"):
-    counts = _step2_signal(tail_packed, tail_invalid, table, k=k,
-                           window_size=window_size, slide=slide,
-                           strategy=strategy)
-    y_int = jnp.maximum(counts, 1).sum(axis=1)      # [B, W] sum over K
+    if strategy == "sum" and int(table.shape[0]) <= 31:
+        # Fused scan-free signal: never materializes [B, K, Lp]
+        # (ops.boundary_sum_signal; exact for aperiodic tables, which is
+        # what routes strategy='sum' here)
+        L = tail_packed.shape[-1] * 4
+        num_windows = max(0, (L - window_size) // slide + 1)
+        codes = ops.unpack_codes(tail_packed, tail_invalid, L)
+        y_int = ops.boundary_sum_signal(codes, table, k, window_size, slide,
+                                        num_windows)
+    else:
+        counts = _step2_signal(tail_packed, tail_invalid, table, k=k,
+                               window_size=window_size, slide=slide,
+                               strategy=strategy)
+        y_int = jnp.maximum(counts, 1).sum(axis=1)  # [B, W] sum over K
     t, has = ops.binseg_l2_device(y_int, n_windows, jump=jump, min_size=min_size)
     return t, has
 
@@ -103,10 +113,17 @@ def _step2_signal_lean(tail_packed, lens, table, *, k: int, window_size: int,
 def _step2_boundary_lean(tail_packed, lens, n_windows, table, *, k: int,
                          window_size: int, slide: int, jump: int, min_size: int,
                          strategy: str = "offset"):
-    counts = _step2_signal_lean(tail_packed, lens, table, k=k,
-                                window_size=window_size, slide=slide,
-                                strategy=strategy)
-    y_int = jnp.maximum(counts, 1).sum(axis=1)
+    if strategy == "sum" and int(table.shape[0]) <= 31:
+        L = tail_packed.shape[-1] * 4
+        num_windows = max(0, (L - window_size) // slide + 1)
+        codes = ops.unpack_codes_len(tail_packed, lens, L)
+        y_int = ops.boundary_sum_signal(codes, table, k, window_size, slide,
+                                        num_windows)
+    else:
+        counts = _step2_signal_lean(tail_packed, lens, table, k=k,
+                                    window_size=window_size, slide=slide,
+                                    strategy=strategy)
+        y_int = jnp.maximum(counts, 1).sum(axis=1)
     t, has = ops.binseg_l2_device(y_int, n_windows, jump=jump, min_size=min_size)
     return t, has
 
@@ -148,15 +165,20 @@ def resolve_use_pallas(requested: bool | None = None) -> bool:
     """Pick the step-2 compute path.  Priority: explicit argument >
     TOPSICLE_USE_PALLAS env var > auto (False: the XLA phase scan).
 
-    Both paths are production-wired and bit-identical; honest D2H-synced
-    chained-loop measurement on TPU v5e (2026-08-20, B=128 x 20 kbp,
-    benchmarks/diag_paths.py) picked the winner:
+    All paths are production-wired and bit-identical; honest D2H-synced
+    chained-loop measurements on TPU v5e (2026-08-20/21, B=128 x 20
+    kbp, benchmarks/diag_paths.py + diag_sum.py; BASELINE.md
+    per-strategy table):
 
-        XLA lean phase scan   2.58 ms/iter = 992 Mbp/s   (default)
+        XLA scan-free 'sum'   0.51 ms/iter               (default,
+                              11.6x the phase scan        aperiodic
+                              same-session)               tables)
+        XLA lean phase scan   2.58 ms/iter = 992 Mbp/s   (periodic
+                                                          tables)
         fused Pallas kernel   3.65 ms/iter = 700 Mbp/s
 
-    The XLA path also ships 1.23x fewer wire bytes (no phase-halo
-    padding) and its first-call compile is an order of magnitude
+    The XLA paths also ship 1.23x fewer wire bytes (no phase-halo
+    padding) and their first-call compile is an order of magnitude
     cheaper on remote toolchains.  The Pallas kernel remains selectable
     (TOPSICLE_USE_PALLAS=1 / use_pallas=True) and chip-verified
     byte-identical on the demo; earlier round-1 numbers showing Pallas
@@ -169,31 +191,40 @@ def resolve_use_pallas(requested: bool | None = None) -> bool:
     return False
 
 
-def resolve_window_strategy(requested: str | None = None) -> str:
+def resolve_window_strategy(requested: str | None = None, *,
+                            aperiodic: bool = False) -> str:
     """Pick the step-2 window-scan strategy (see ops.match for the
     catalogue).  Priority: explicit argument > TOPSICLE_WINDOW_STRATEGY
-    env var > 'phase'.
+    env var > 'sum' when the k-mer table is aperiodic, else 'phase'.
 
-    'phase' is ~3x faster than 'offset' steady-state on TPU (full lane
-    utilization) and bit-identical (property-tested).  Its one downside
-    — minutes-long first compile on some remote TPU toolchains — is
-    amortized by the persistent compilation cache
-    (utils/compile_cache.py), so it is the default everywhere."""
+    'sum' replaces the sequential greedy scan with ~12 shift-add passes
+    (exact because an aperiodic k-mer can never self-overlap, so greedy
+    == occurrence count — kmers.all_aperiodic) and compiles in seconds
+    everywhere.  'phase' is the general-case scan, ~3x faster than
+    'offset' steady-state on TPU (full lane utilization), bit-identical
+    (property-tested); its minutes-long first compile on some remote
+    TPU toolchains is amortized by the persistent compilation cache
+    (utils/compile_cache.py)."""
     import os
 
-    s = requested or os.environ.get("TOPSICLE_WINDOW_STRATEGY") or "phase"
-    if s not in ("offset", "phase", "bitmask"):
+    s = requested or os.environ.get("TOPSICLE_WINDOW_STRATEGY") \
+        or ("sum" if aperiodic else "phase")
+    if s not in ("offset", "phase", "bitmask", "sum"):
         raise ValueError(f"unknown window strategy {s!r}")
     return s
 
 
-def resolve_greedy_strategy(requested: str | None = None) -> str:
+def resolve_greedy_strategy(requested: str | None = None, *,
+                            aperiodic: bool = False) -> str:
     """Pick the step-1 greedy-count strategy (ops.match.greedy_count).
     Priority: explicit argument > TOPSICLE_GREEDY_STRATEGY env var >
-    'chunked' (the shape remote TPU compile services handle in seconds;
-    'tree' is the log-depth alternative, bit-identical)."""
-    s = requested or os.environ.get("TOPSICLE_GREEDY_STRATEGY") or "chunked"
-    if s not in ("chunked", "tree"):
+    'sum' when the table is aperiodic (plain reduction — exact, see
+    resolve_window_strategy), else 'chunked' (the scan shape remote TPU
+    compile services handle in seconds; 'tree' is the log-depth
+    alternative, bit-identical)."""
+    s = requested or os.environ.get("TOPSICLE_GREEDY_STRATEGY") \
+        or ("sum" if aperiodic else "chunked")
+    if s not in ("chunked", "tree", "sum"):
         raise ValueError(f"unknown greedy strategy {s!r}")
     return s
 
@@ -226,8 +257,27 @@ class TelomereScanModel:
         self.slide = slide
         self.jump = jump
         self.min_size = min_size
-        self.window_strategy = resolve_window_strategy(window_strategy)
-        self.greedy_strategy = resolve_greedy_strategy(greedy_strategy)
+        # Aperiodic tables (no k-mer self-overlaps — true of the default
+        # k=5 CCCTAAA table; k=6/7 rotations have period k-1) unlock the
+        # scan-free sum kernels; greedy == occurrence count there
+        # (kmers.all_aperiodic).
+        self.aperiodic = all_aperiodic(self.kmers)
+        self.window_strategy = resolve_window_strategy(
+            window_strategy, aperiodic=self.aperiodic)
+        self.greedy_strategy = resolve_greedy_strategy(
+            greedy_strategy, aperiodic=self.aperiodic)
+        if not self.aperiodic:
+            # A forced 'sum' on a periodic table would silently break
+            # greedy semantics — degrade to the exact scan paths instead.
+            import warnings
+            if self.window_strategy == "sum":
+                warnings.warn("window strategy 'sum' requires an aperiodic "
+                              "k-mer table; falling back to 'phase'")
+                self.window_strategy = "phase"
+            if self.greedy_strategy == "sum":
+                warnings.warn("greedy strategy 'sum' requires an aperiodic "
+                              "k-mer table; falling back to 'chunked'")
+                self.greedy_strategy = "chunked"
         self.use_pallas = resolve_use_pallas(use_pallas)
         # On non-TPU backends an explicitly requested Pallas path runs in
         # interpret mode (correctness testing); Mosaic codegen is TPU-only.

@@ -12,9 +12,11 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 from topsicle_tpu.ops.match import (  # noqa: F401,E402
+    boundary_sum_signal,
     greedy_count,
     greedy_count_chunked,
     greedy_count_full,
+    greedy_count_sum,
     match_positions,
     next_match_table,
     rolling_codes,

@@ -138,7 +138,20 @@ def greedy_count(match: jax.Array, k: int, strategy: str | None = None) -> jax.A
         return greedy_count_chunked(match, k)
     if s == "tree":
         return greedy_count_full(match, k)
+    if s == "sum":
+        return greedy_count_sum(match, k)
     raise ValueError(f"unknown greedy strategy {s!r}")
+
+
+def greedy_count_sum(match: jax.Array, k: int) -> jax.Array:
+    """Plain occurrence count — equal to the greedy non-overlapping
+    count whenever the k-mer table is APERIODIC (kmers.all_aperiodic):
+    an aperiodic k-mer's matches are always >= k apart, so finditer's
+    blocking never skips one.  No scan, no carry — a single reduction
+    the compiler schedules freely.  Callers must gate on aperiodicity
+    (models.telomere does); k is accepted for signature symmetry."""
+    del k
+    return match.sum(axis=-1, dtype=jnp.int32)
 
 
 def greedy_count_chunked(match: jax.Array, k: int, chunk: int = 64) -> jax.Array:
@@ -247,12 +260,16 @@ def window_nonoverlap_counts(
     match starts are w*slide + j for j in [0, window_size-1-k].  The
     greedy chain restarts at each window start.
 
-    Three gather-free strategies (bit-identical results,
-    property-tested).  The production default is "phase"
-    (models.telomere.resolve_window_strategy); "offset"/"bitmask" remain
-    selectable via TOPSICLE_WINDOW_STRATEGY:
+    Gather-free strategies (bit-identical results where applicable,
+    property-tested).  models.telomere.resolve_window_strategy picks
+    "sum" for aperiodic k-mer tables (the common case) and "phase"
+    otherwise; "offset"/"bitmask" remain selectable via
+    TOPSICLE_WINDOW_STRATEGY:
 
-    - "phase" (default): lane-layout-aware — match bits decimated into
+    - "sum": scan-free sliding sums (_window_counts_sliding_sum) —
+      exact only for aperiodic tables, where greedy == occurrence
+      count; fastest path and cheapest to compile.
+    - "phase": lane-layout-aware — match bits decimated into
       `slide` phase planes so every scan step is a contiguous lane
       slice over all windows at once; ~3x faster than "offset" on TPU.
       Minutes-long first compile on some remote TPU toolchains,
@@ -272,6 +289,8 @@ def window_nonoverlap_counts(
         return _window_counts_offset_scan(match, k, window_size, slide, num_windows)
     if strategy == "phase":
         return _window_counts_phase_scan(match, k, window_size, slide, num_windows)
+    if strategy == "sum":
+        return _window_counts_sliding_sum(match, k, window_size, slide, num_windows)
     if strategy != "bitmask":
         raise ValueError(f"unknown strategy {strategy!r}")
     J = window_size - k
@@ -328,6 +347,129 @@ def window_nonoverlap_counts(
         body, (nf0, cnt0), jnp.arange(n_chunks, dtype=jnp.int32)
     )
     return jnp.moveaxis(cnt, -1, 1)                    # [B, K, W]
+
+
+def _shift_left_zero(x: jax.Array, n: int) -> jax.Array:
+    """x[..., p] -> x[..., p+n], zero-filled at the tail (length kept)."""
+    if n == 0:
+        return x
+    return jnp.pad(x[..., n:], [(0, 0)] * (x.ndim - 1) + [(0, n)])
+
+
+def _sliding_reduce(x: jax.Array, width: int, op) -> jax.Array:
+    """R[..., p] = op-fold of x[..., p : p+width] via log2(width)
+    doubling steps (R_{2w}[p] = op(R_w[p], R_w[p+w])) plus one shifted
+    combine per set bit of `width`.  Caller guarantees x is zero-padded
+    far enough that tail zero-fill is the op's identity (true for add
+    and bitwise-or on zero padding)."""
+    pows = []
+    s = x
+    w = 1
+    while w <= width:
+        pows.append((w, s))
+        s = op(s, _shift_left_zero(s, w))
+        w *= 2
+    total = None
+    off = 0
+    for w, sw in pows:              # LSB-first binary decomposition
+        if width & w:
+            part = _shift_left_zero(sw, off)
+            total = part if total is None else op(total, part)
+            off += w
+    return total
+
+
+def boundary_sum_signal(
+    codes: jax.Array, table: jax.Array, k: int, window_size: int, slide: int,
+    num_windows: int,
+) -> jax.Array:
+    """y_int [B, W] = sum_i max(count_i, 1) for APERIODIC tables,
+    without ever materializing the [B, K, Lp] match tensor.
+
+    Identity: sum_i max(c_i, 1) = (sum_i c_i) + #{i : c_i == 0}.  With
+    aperiodicity, c_i is the plain number of entry-i matches among the
+    window's J admissible offsets (see _window_counts_sliding_sum), so
+      - sum_i c_i  = windowed SUM of the per-position total-match plane
+        t[p] = #entries matching at p (int16; duplicate table entries
+        each count, matching the reference's per-k-mer regexes), and
+      - #zeros     = K - popcount(windowed OR of the per-position
+        presence bit-plane w[p] = sum_i match_i[p] << i) — one int32
+        word per position, K <= 31 bits (K <= 2*MAX_ROLLING_K + 2).
+    Two [B, T] planes replace K of them: ~K-fold less sliding work than
+    per-K sums, and the [B, W] popcount is negligible.  Non-ACGT table
+    entries (-1) never match and contribute their floor of 1 via the
+    popcount term, exactly like the per-K paths."""
+    J = window_size - k
+    B = codes.shape[0]
+    K = int(table.shape[0])
+    if K > 31:
+        raise ValueError("presence bit-plane holds at most 31 entries; "
+                         "use the per-K 'sum' strategy for larger tables")
+    if J <= 0 or num_windows <= 0:
+        return jnp.zeros((B, max(num_windows, 0)), jnp.int32)
+    val, ok = rolling_codes(codes, k)            # [B, Lp]
+    # windowed totals reach J*K — int16 only when that fits
+    tdt = jnp.int16 if J * K < (1 << 15) else jnp.int32
+    tot = jnp.zeros(val.shape, tdt)
+    word = jnp.zeros(val.shape, jnp.int32)
+    t32 = table.astype(jnp.int32)
+    for i in range(K):                           # K is small and static
+        eq = (val == t32[i]) & ok
+        tot = tot + eq.astype(tdt)
+        word = word | (eq.astype(jnp.int32) << i)
+    W = num_windows
+    need = (W - 1) * slide + J
+    T = need + J
+    padn = T - val.shape[-1]
+    if padn > 0:
+        pad = [(0, 0)] * (val.ndim - 1) + [(0, padn)]
+        tot, word = jnp.pad(tot, pad), jnp.pad(word, pad)
+    else:
+        tot, word = tot[..., :T], word[..., :T]
+    s = _sliding_reduce(tot, J, jnp.add)
+    o = _sliding_reduce(word, J, jnp.bitwise_or)
+    lim = (W - 1) * slide + 1
+    s_w = jax.lax.slice(s, (0, 0), (B, lim), (1, slide)).astype(jnp.int32)
+    o_w = jax.lax.slice(o, (0, 0), (B, lim), (1, slide))
+    present = jax.lax.population_count(o_w.astype(jnp.uint32)).astype(jnp.int32)
+    return s_w + (K - present)
+
+
+def _window_counts_sliding_sum(
+    match: jax.Array, k: int, window_size: int, slide: int, num_windows: int
+) -> jax.Array:
+    """Windowed occurrence-sum strategy — the scan-free fast path.
+
+    ONLY exact for aperiodic k-mer tables (kmers.all_aperiodic): such a
+    k-mer's matches are always >= k apart, so the greedy chain never
+    blocks anything and the per-window greedy count equals the plain
+    number of matches among the window's J = window_size - k admissible
+    offsets.  That is a fixed-width sliding sum, built here from
+    log2(J) doubling shift-adds (S_{2w}[p] = S_w[p] + S_w[p+w]) plus
+    one shifted add per set bit of J, then sampled at the window starts
+    with a stride-`slide` static slice.  ~12 elementwise passes replace
+    the phase scan's ~J gated carry updates — no scan, no sequential
+    dependence, nothing for a remote compile service to choke on.
+    Sums fit int16 for any window_size < 32768 (values <= J).
+    models.telomere gates selection on table aperiodicity."""
+    J = window_size - k
+    B, K, Lp = match.shape
+    if J <= 0 or num_windows <= 0:
+        return jnp.zeros((B, K, max(num_windows, 0)), jnp.int32)
+    W = num_windows
+    need = (W - 1) * slide + J      # one past the last offset any window reads
+    T = need + J                    # cushion: shifted adds never wrap garbage
+    padn = T - Lp
+    m = jnp.pad(match, [(0, 0)] * (match.ndim - 1) + [(0, padn)]) if padn > 0 \
+        else match[..., :T]
+    dt = jnp.int16 if J < (1 << 15) else jnp.int32
+    total = _sliding_reduce(m.astype(dt), J, jnp.add)
+    counts = jax.lax.slice(
+        total, (0,) * (match.ndim - 1) + (0,),
+        match.shape[:-1] + ((W - 1) * slide + 1,),
+        (1,) * (match.ndim - 1) + (slide,),
+    )
+    return counts.astype(jnp.int32)
 
 
 def _popcount(x: jax.Array) -> jax.Array:

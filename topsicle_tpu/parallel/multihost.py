@@ -55,7 +55,8 @@ class GlobalScanModel:
             _step2_boundary_lean)
 
         self._step1 = jax.jit(
-            functools.partial(_step1_counts_lean, k=base.k),
+            functools.partial(_step1_counts_lean, k=base.k,
+                              greedy=base.greedy_strategy),
             in_shardings=(self._shard3, self._shard, self._repl),
             out_shardings=self._repl,
         )
@@ -73,7 +74,8 @@ class GlobalScanModel:
         # agreed by all processes — a host-local fallback would have
         # processes calling different programs and deadlock)
         self._step1_dense = jax.jit(
-            functools.partial(_step1_counts, k=base.k),
+            functools.partial(_step1_counts, k=base.k,
+                              greedy=base.greedy_strategy),
             in_shardings=(self._shard3, self._shard3, self._repl),
             out_shardings=self._repl,
         )

@@ -43,7 +43,7 @@ class ShardedScanModel:
         self.n = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
         k = base.k
 
-        step1 = functools.partial(_step1_counts, k=k)
+        step1 = functools.partial(_step1_counts, k=k, greedy=base.greedy_strategy)
         step2 = functools.partial(
             _step2_boundary, k=k, window_size=base.window_size,
             slide=base.slide, jump=base.jump, min_size=base.min_size,
@@ -68,7 +68,7 @@ class ShardedScanModel:
             )
         )
 
-        step1_lean = functools.partial(_step1_counts_lean, k=k)
+        step1_lean = functools.partial(_step1_counts_lean, k=k, greedy=base.greedy_strategy)
         step2_lean = functools.partial(
             _step2_boundary_lean, k=k, window_size=base.window_size,
             slide=base.slide, jump=base.jump, min_size=base.min_size,
