@@ -61,16 +61,37 @@ def full_chain(strategy, greedy):
                         model.table)
 
 
-def measure(tag, c, args, bp):
+def measure(tag, c, args, bp, short=4, long=516):
+    """Chained-loop slope; the 512-iter spread keeps the signal above
+    tunnel timing noise even at ~0.3 ms/iter (a 64-iter spread went
+    below the noise floor once the fused path landed)."""
     t0 = time.time(); np.asarray(c(*args, jnp.int32(1)))
     print(f"[{tag}] first: {time.time()-t0:.1f}s", flush=True)
     best = None
     for _ in range(3):
-        t0 = time.time(); np.asarray(c(*args, jnp.int32(4))); d4 = time.time()-t0
-        t0 = time.time(); np.asarray(c(*args, jnp.int32(68))); d68 = time.time()-t0
-        per = (d68-d4)/64
+        t0 = time.time(); np.asarray(c(*args, jnp.int32(short))); ds = time.time()-t0
+        t0 = time.time(); np.asarray(c(*args, jnp.int32(long))); dl = time.time()-t0
+        per = (dl-ds)/(long-short)
         best = per if best is None else min(best, per)
     print(f"[{tag}] {best*1e3:.2f} ms/iter = {bp/best/1e6:.0f} Mbp/s", flush=True)
+
+
+def signal_only_chain():
+    """The fused y_int alone (no changepoint) — isolates the binseg
+    tournament's share of the step-2 budget."""
+    from topsicle_tpu.ops import boundary_sum_signal, unpack_codes_len
+
+    W = (Lpad - 100) // 6 + 1
+
+    def f(px, lens1d, nw, table, iters):
+        def body(i, acc):
+            x = jnp.uint8(i & 1)
+            codes = unpack_codes_len(px ^ x, lens1d, Lpad)
+            y = boundary_sum_signal(codes, table, k, 100, 6, W)
+            return acc + jnp.sum(y) + i
+        return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
+    return jax.jit(f), (jnp.asarray(px), jnp.asarray(lens.astype(np.int32)),
+                        jnp.asarray(nw), model.table)
 
 
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -81,3 +102,6 @@ if which in ("all", "step2"):
     for s in ("sum", "phase"):
         c, a = step2_chain(s)
         measure(f"step2 {s}", c, a, B * Lpad)
+if which in ("all", "signal"):
+    c, a = signal_only_chain()
+    measure("step2 signal-only (no binseg)", c, a, B * Lpad)

@@ -48,6 +48,27 @@ def _sq_limbs(a):
     return (l0, l1, l2, l3)
 
 
+def _mul_limbs_1(sq, d):
+    """4-limb value times nonnegative d < 2**32 -> 5 uint64 limbs.
+
+    The common case: d = t*(n-t) <= W**2/4 fits one 32-bit limb for any
+    W <= 131072 windows, so the d-high products of _mul_limbs vanish
+    statically (picked by binseg_l2_device per shape)."""
+    l0, l1, l2, l3 = sq
+    d0 = d.astype(jnp.uint64)
+    s32 = jnp.uint64(32)
+    p0, p1, p2, p3 = l0 * d0, l1 * d0, l2 * d0, l3 * d0
+    r0 = p0 & _M32
+    acc = (p0 >> s32) + (p1 & _M32)
+    r1 = acc & _M32
+    acc = (acc >> s32) + (p1 >> s32) + (p2 & _M32)
+    r2 = acc & _M32
+    acc = (acc >> s32) + (p2 >> s32) + (p3 & _M32)
+    r3 = acc & _M32
+    r4 = (acc >> s32) + (p3 >> s32)
+    return (r0, r1, r2, r3, r4)
+
+
 def _mul_limbs(sq, d):
     """4-limb value times nonnegative int64 d -> 6 uint64 limbs."""
     l0, l1, l2, l3 = sq
@@ -80,19 +101,22 @@ def _cmp(x, y):
     return gt, eq
 
 
-def _pick(c1, c2):
+def _pick(c1, c2, mul):
     """Tournament step: pick the better candidate of two.
 
-    Candidate = (A int64, D int64, t int64, valid bool).  Better means
-    larger A^2/D; exact ties go to smaller t; invalid always loses."""
-    a1, d1, t1, v1 = c1
-    a2, d2, t2, v2 = c2
-    x = _mul_limbs(_sq_limbs(a1), d2)
-    y = _mul_limbs(_sq_limbs(a2), d1)
-    gt, eq = _cmp(x, y)
+    Candidate = (sq 4-limb tuple of A^2, D int64, t int64, valid bool);
+    A's square limbs are computed ONCE before the tournament and carried
+    through (they are what every level needs — recomputing the square
+    per level tripled the limb work).  Better means larger A^2/D; exact
+    ties go to smaller t; invalid always loses.  `mul` is _mul_limbs or
+    the 1-limb specialization."""
+    s1, d1, t1, v1 = c1
+    s2, d2, t2, v2 = c2
+    gt, eq = _cmp(mul(s1, d2), mul(s2, d1))
     take1 = (~v2) | (v1 & (gt | (eq & (t1 <= t2))))
     pick = lambda u, w: jnp.where(take1, u, w)
-    return (pick(a1, a2), pick(d1, d2), pick(t1, t2), v1 | v2)
+    sq = tuple(pick(a, b) for a, b in zip(s1, s2))
+    return (sq, pick(d1, d2), pick(t1, t2), v1 | v2)
 
 
 def binseg_l2_device(y_int, num_windows, jump: int = 5, min_size: int = 2):
@@ -104,6 +128,10 @@ def binseg_l2_device(y_int, num_windows, jump: int = 5, min_size: int = 2):
     length in windows (boundary bp = trimfirst + slide*t downstream).
     """
     B, W = y_int.shape
+    # Full-width cumsum + static gather at the candidate positions.
+    # (A jump-block variant — reshape [B, J, jump].sum(-1) + short
+    # cumsum — measured 2.6x SLOWER: the width-jump minor axis uses 5
+    # of 128 lanes.  Keep the lane-friendly full-width form.)
     S = jnp.cumsum(y_int.astype(jnp.int64), axis=1)
     n32 = num_windows.astype(jnp.int32)
     n = num_windows.astype(jnp.int64)[:, None]                      # [B,1]
@@ -132,11 +160,19 @@ def binseg_l2_device(y_int, num_windows, jump: int = 5, min_size: int = 2):
     tt = padf(jnp.broadcast_to(t, (B, J)), 0)
     valid = padf(jnp.broadcast_to(valid, (B, J)), False)
 
-    while A.shape[1] > 1:
-        h = A.shape[1] // 2
-        c = _pick(
-            (A[:, 0::2], D[:, 0::2], tt[:, 0::2], valid[:, 0::2]),
-            (A[:, 1::2], D[:, 1::2], tt[:, 1::2], valid[:, 1::2]),
+    # D = t*(n-t) <= W^2/4: one 32-bit limb suffices for W <= 131072
+    mul = _mul_limbs_1 if (W * W) // 4 <= 0xFFFFFFFF else _mul_limbs
+    sq = _sq_limbs(A)
+    # Pair CONTIGUOUS halves each level.  Strided pairings (0::2/1::2,
+    # or an 8-ary i::8 grouping) measured 2.8-4x slower on TPU — minor-
+    # axis strided slices force lane relayouts; contiguous halves are
+    # free.  The tie rule compares actual t values inside _pick, so the
+    # tree shape cannot change the first-best-wins result.
+    while D.shape[1] > 1:
+        h = D.shape[1] // 2
+        sq, D, tt, valid = _pick(
+            (tuple(s[:, :h] for s in sq), D[:, :h], tt[:, :h], valid[:, :h]),
+            (tuple(s[:, h:] for s in sq), D[:, h:], tt[:, h:], valid[:, h:]),
+            mul,
         )
-        A, D, tt, valid = c
     return tt[:, 0], valid[:, 0]

@@ -6,10 +6,14 @@ allsteps.py:181-187,279-291):
 - bases are small integer codes; a k-mer becomes one base-4 "rolling
   code", so matching is `k` shifted adds once per position, then one
   integer compare per table entry (VPU-friendly, no string ops);
-- `re.finditer`'s non-overlapping semantics are reproduced exactly by
-  gather-free greedy scans: a (next_free, count) carry advanced
-  uniformly over positions (TPU gathers are slow; uniform slices are
-  not), with three selectable window-scan strategies tuned for
+- `re.finditer`'s non-overlapping semantics are reproduced exactly.
+  For APERIODIC k-mer tables (kmers.all_aperiodic — e.g. the default
+  k=5 CCCTAAA table) greedy counting provably equals occurrence
+  counting, so the scan-free "sum" strategies apply: windowed sums
+  from doubling shift-adds, no sequential dependence.  Periodic
+  tables use gather-free greedy scans: a (next_free, count) carry
+  advanced uniformly over positions (TPU gathers are slow; uniform
+  slices are not), with selectable window-scan strategies tuned for
   different toolchain/perf trade-offs;
 - everything is batched [B, ...] and int32; no floats anywhere.
 
@@ -393,12 +397,20 @@ def boundary_sum_signal(
         t[p] = #entries matching at p (int16; duplicate table entries
         each count, matching the reference's per-k-mer regexes), and
       - #zeros     = K - popcount(windowed OR of the per-position
-        presence bit-plane w[p] = sum_i match_i[p] << i) — one int32
-        word per position, K <= 31 bits (K <= 2*MAX_ROLLING_K + 2).
-    Two [B, T] planes replace K of them: ~K-fold less sliding work than
-    per-K sums, and the [B, W] popcount is negligible.  Non-ACGT table
+        presence bit-plane w[p] = sum_i match_i[p] << i) — one int16
+        word when K <= 15, int32 up to K <= 31
+        (K <= 2*MAX_ROLLING_K + 2).
+    Two planes replace K of them: ~K-fold less sliding work than per-K
+    sums, and the [B, W] popcount is negligible.  Non-ACGT table
     entries (-1) never match and contribute their floor of 1 via the
-    popcount term, exactly like the per-K paths."""
+    popcount term, exactly like the per-K paths.
+
+    Negative result, measured 2026-08-21 (BASELINE.md): decimating
+    both planes into `slide` phase planes before reducing (width
+    ~J/slide per phase on 1/slide-length data — nominally ~2.5x less
+    doubling traffic) measured 0.51-0.56 ms/iter vs 0.48-0.51 for this
+    full-width form; the stride-`slide` minor-axis slices it needs
+    defeat 128-lane vectorization and eat the savings.  Kept simple."""
     J = window_size - k
     B = codes.shape[0]
     K = int(table.shape[0])
@@ -410,13 +422,14 @@ def boundary_sum_signal(
     val, ok = rolling_codes(codes, k)            # [B, Lp]
     # windowed totals reach J*K — int16 only when that fits
     tdt = jnp.int16 if J * K < (1 << 15) else jnp.int32
+    wdt = jnp.int16 if K <= 15 else jnp.int32
     tot = jnp.zeros(val.shape, tdt)
-    word = jnp.zeros(val.shape, jnp.int32)
+    word = jnp.zeros(val.shape, wdt)
     t32 = table.astype(jnp.int32)
     for i in range(K):                           # K is small and static
         eq = (val == t32[i]) & ok
         tot = tot + eq.astype(tdt)
-        word = word | (eq.astype(jnp.int32) << i)
+        word = word | (eq.astype(wdt) << i)
     W = num_windows
     need = (W - 1) * slide + J
     T = need + J
@@ -431,7 +444,8 @@ def boundary_sum_signal(
     lim = (W - 1) * slide + 1
     s_w = jax.lax.slice(s, (0, 0), (B, lim), (1, slide)).astype(jnp.int32)
     o_w = jax.lax.slice(o, (0, 0), (B, lim), (1, slide))
-    present = jax.lax.population_count(o_w.astype(jnp.uint32)).astype(jnp.int32)
+    present = jax.lax.population_count(
+        o_w.astype(jnp.uint32) & jnp.uint32((1 << K) - 1)).astype(jnp.int32)
     return s_w + (K - present)
 
 
