@@ -264,7 +264,9 @@ def main():
         from topsicle_tpu.io.writer import RunLog
         from topsicle_tpu.pipeline import JaxEngine
 
-        n_reads = int(os.environ.get("TOPSICLE_BENCH_E2E_READS", "800"))
+        # enough reads that warm wall time (~3-4 s) is well above timer
+        # quantization now that the device side is sub-ms per batch
+        n_reads = int(os.environ.get("TOPSICLE_BENCH_E2E_READS", "3200"))
         tmp = tempfile.mkdtemp()
         fq = os.path.join(tmp, "synthetic.fastq.gz")
         make_fastq(fq, n_reads)

@@ -170,8 +170,8 @@ def resolve_use_pallas(requested: bool | None = None) -> bool:
     kbp, benchmarks/diag_paths.py + diag_sum.py; BASELINE.md
     per-strategy table):
 
-        XLA scan-free 'sum'   0.32 ms/iter               (default,
-                              18.4x the phase scan        aperiodic
+        XLA scan-free 'sum'   0.32-0.47 ms/iter          (default,
+                              12.5-18.4x the phase scan   aperiodic
                               same-session)               tables)
         XLA lean phase scan   2.58 ms/iter = 992 Mbp/s   (periodic
                                                           tables)

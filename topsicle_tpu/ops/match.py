@@ -70,20 +70,24 @@ def unpack_codes_len(packed: jax.Array, lengths: jax.Array, L: int) -> jax.Array
     return jnp.where(invalid, jnp.uint8(4), codes)
 
 
-def rolling_codes(codes: jax.Array, k: int):
-    """[..., L] uint8 base codes -> ([..., L-k+1] int32 rolling codes,
+def rolling_codes(codes: jax.Array, k: int, dtype=None):
+    """[..., L] uint8 base codes -> ([..., L-k+1] rolling codes,
     [..., L-k+1] bool validity).
 
     code(p) = sum_j base[p+j] * 4**j; invalid wherever any base >= 4.
-    """
+    dtype defaults to int32; callers on the hot path pass int16 when
+    4**k fits (k <= 7 — halves the largest HBM plane, values exact
+    either way)."""
     if k > MAX_ROLLING_K:
         raise ValueError(f"k={k} exceeds rolling-code capacity ({MAX_ROLLING_K})")
+    if dtype is None:
+        dtype = jnp.int32
     L = codes.shape[-1]
     Lp = L - k + 1
     if Lp <= 0:
         raise ValueError(f"sequence length {L} shorter than k={k}")
-    c = codes.astype(jnp.int32)
-    val = jnp.zeros(codes.shape[:-1] + (Lp,), jnp.int32)
+    c = codes.astype(dtype)
+    val = jnp.zeros(codes.shape[:-1] + (Lp,), dtype)
     bad = jnp.zeros(codes.shape[:-1] + (Lp,), bool)
     for j in range(k):
         sl = jax.lax.slice_in_dim(c, j, j + Lp, axis=-1)
@@ -419,15 +423,19 @@ def boundary_sum_signal(
                          "use the per-K 'sum' strategy for larger tables")
     if J <= 0 or num_windows <= 0:
         return jnp.zeros((B, max(num_windows, 0)), jnp.int32)
+    # int32 rolling codes: int16 (fits for k <= 7) looked like a free
+    # traffic halving but reproducibly measured 1.5x SLOWER for the
+    # whole fused program (0.32 -> 0.47 ms/iter) while the signal-only
+    # probe stayed flat — a fusion/layout interaction, not arithmetic.
     val, ok = rolling_codes(codes, k)            # [B, Lp]
     # windowed totals reach J*K — int16 only when that fits
     tdt = jnp.int16 if J * K < (1 << 15) else jnp.int32
     wdt = jnp.int16 if K <= 15 else jnp.int32
     tot = jnp.zeros(val.shape, tdt)
     word = jnp.zeros(val.shape, wdt)
-    t32 = table.astype(jnp.int32)
+    tv = table.astype(jnp.int32)
     for i in range(K):                           # K is small and static
-        eq = (val == t32[i]) & ok
+        eq = (val == tv[i]) & ok
         tot = tot + eq.astype(tdt)
         word = word | (eq.astype(wdt) << i)
     W = num_windows
