@@ -27,6 +27,7 @@ import numpy as np
 from topsicle_tpu import ops
 from topsicle_tpu.io import batch as batching
 from topsicle_tpu.kmers import all_aperiodic, pack_kmer_table
+from topsicle_tpu.utils.aot_cache import AotJit
 
 
 def _step1_counts(ends_packed, ends_invalid, table, *, k: int,
@@ -284,9 +285,15 @@ class TelomereScanModel:
         self._pallas_interpret = jax.default_backend() != "tpu"
         self.table = jnp.asarray(pack_kmer_table(self.kmers))
 
-        self._step1 = jax.jit(functools.partial(
-            _step1_counts, k=self.k, greedy=self.greedy_strategy))
-        self._step2 = jax.jit(
+        # AotJit = jax.jit + a cross-process serialized-executable cache
+        # (utils/aot_cache.py): on remote-compile TPU deployments the
+        # compile service's per-shape first-execution charge (minutes,
+        # high variance) is paid once ever per program, and the emitted
+        # binary — whose quality varies per draw — is pinned.
+        self._step1 = AotJit(functools.partial(
+            _step1_counts, k=self.k, greedy=self.greedy_strategy),
+            name="step1")
+        self._step2 = AotJit(
             functools.partial(
                 _step2_boundary,
                 k=self.k,
@@ -295,15 +302,24 @@ class TelomereScanModel:
                 jump=jump,
                 min_size=min_size,
                 strategy=self.window_strategy,
-            )
+            ),
+            name="step2",
         )
-        self._rawcounts = jax.jit(
+        self._rawcounts = AotJit(
             functools.partial(
                 _step2_signal, k=self.k, window_size=window_size, slide=slide,
                 strategy=self.window_strategy,
-            )
+            ),
+            name="rawcounts",
         )
-        self._step2_pallas = jax.jit(
+        self._rawcounts_lean = AotJit(
+            functools.partial(
+                _step2_signal_lean, k=self.k, window_size=window_size,
+                slide=slide, strategy=self.window_strategy,
+            ),
+            name="rawcounts_lean",
+        )
+        self._step2_pallas = AotJit(
             functools.partial(
                 _step2_boundary_pallas,
                 k=self.k,
@@ -315,8 +331,9 @@ class TelomereScanModel:
                 interpret=self._pallas_interpret,
             ),
             static_argnames=("L",),
+            name="step2_pallas",
         )
-        self._step2_pallas_lean = jax.jit(
+        self._step2_pallas_lean = AotJit(
             functools.partial(
                 _step2_boundary_pallas_lean,
                 k=self.k,
@@ -328,10 +345,12 @@ class TelomereScanModel:
                 interpret=self._pallas_interpret,
             ),
             static_argnames=("L",),
+            name="step2_pallas_lean",
         )
-        self._step1_lean = jax.jit(functools.partial(
-            _step1_counts_lean, k=self.k, greedy=self.greedy_strategy))
-        self._step2_lean = jax.jit(
+        self._step1_lean = AotJit(functools.partial(
+            _step1_counts_lean, k=self.k, greedy=self.greedy_strategy),
+            name="step1_lean")
+        self._step2_lean = AotJit(
             functools.partial(
                 _step2_boundary_lean,
                 k=self.k,
@@ -340,7 +359,8 @@ class TelomereScanModel:
                 jump=jump,
                 min_size=min_size,
                 strategy=self.window_strategy,
-            )
+            ),
+            name="step2_lean",
         )
 
     # ---- host-facing API (numpy in / numpy out; packs on host) -----------

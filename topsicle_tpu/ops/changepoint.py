@@ -52,7 +52,9 @@ def _mul_limbs_1(sq, d):
     """4-limb value times nonnegative d < 2**32 -> 5 uint64 limbs.
 
     The common case: d = t*(n-t) <= W**2/4 fits one 32-bit limb for any
-    W <= 131072 windows, so the d-high products of _mul_limbs vanish
+    W <= 131071 windows (at W = 131072 exactly, W**2/4 = 2**32 overflows
+    the limb and binseg_l2_device's (W*W)//4 <= 0xFFFFFFFF guard selects
+    _mul_limbs instead), so the d-high products of _mul_limbs vanish
     statically (picked by binseg_l2_device per shape)."""
     l0, l1, l2, l3 = sq
     d0 = d.astype(jnp.uint64)

@@ -75,9 +75,12 @@ def rolling_codes(codes: jax.Array, k: int, dtype=None):
     [..., L-k+1] bool validity).
 
     code(p) = sum_j base[p+j] * 4**j; invalid wherever any base >= 4.
-    dtype defaults to int32; callers on the hot path pass int16 when
-    4**k fits (k <= 7 — halves the largest HBM plane, values exact
-    either way)."""
+    dtype defaults to int32 — the measured-fastest choice on TPU; the
+    override is kept for experimentation only.  int16 (exact for
+    k <= 7) halves the largest HBM plane yet reproducibly measured
+    1.5x SLOWER for the fused sum program (see the negative result
+    recorded at boundary_sum_signal's use of rolling_codes), so no
+    production caller passes dtype anymore."""
     if k > MAX_ROLLING_K:
         raise ValueError(f"k={k} exceeds rolling-code capacity ({MAX_ROLLING_K})")
     if dtype is None:

@@ -54,18 +54,25 @@ class GlobalScanModel:
             _step1_counts, _step1_counts_lean, _step2_boundary,
             _step2_boundary_lean)
 
-        self._step1 = jax.jit(
+        from topsicle_tpu.utils.aot_cache import AotJit
+
+        # AotJit (utils/aot_cache.py): GSPMD executables serialize like
+        # single-chip ones; the cache key covers the device topology, so
+        # every process of a pod loads the same pinned binary.
+        self._step1 = AotJit(
             functools.partial(_step1_counts_lean, k=base.k,
                               greedy=base.greedy_strategy),
+            name="gl_step1",
             in_shardings=(self._shard3, self._shard, self._repl),
             out_shardings=self._repl,
         )
-        self._step2 = jax.jit(
+        self._step2 = AotJit(
             functools.partial(
                 _step2_boundary_lean, k=base.k, window_size=base.window_size,
                 slide=base.slide, jump=base.jump, min_size=base.min_size,
                 strategy=base.window_strategy,
             ),
+            name="gl_step2",
             in_shardings=(self._shard2, self._shard, self._shard, self._repl),
             out_shardings=(self._repl, self._repl),
         )
@@ -73,18 +80,20 @@ class GlobalScanModel:
         # an in-prefix non-ACGT base (the lean/dense choice must be
         # agreed by all processes — a host-local fallback would have
         # processes calling different programs and deadlock)
-        self._step1_dense = jax.jit(
+        self._step1_dense = AotJit(
             functools.partial(_step1_counts, k=base.k,
                               greedy=base.greedy_strategy),
+            name="gl_step1_dense",
             in_shardings=(self._shard3, self._shard3, self._repl),
             out_shardings=self._repl,
         )
-        self._step2_dense = jax.jit(
+        self._step2_dense = AotJit(
             functools.partial(
                 _step2_boundary, k=base.k, window_size=base.window_size,
                 slide=base.slide, jump=base.jump, min_size=base.min_size,
                 strategy=base.window_strategy,
             ),
+            name="gl_step2_dense",
             in_shardings=(self._shard2, self._shard2, self._shard, self._repl),
             out_shardings=(self._repl, self._repl),
         )

@@ -30,6 +30,7 @@ from topsicle_tpu.models.telomere import (
     _step2_boundary_lean,
 )
 from topsicle_tpu.parallel.mesh import DATA_AXIS, data_mesh
+from topsicle_tpu.utils.aot_cache import AotJit
 
 
 class ShardedScanModel:
@@ -53,19 +54,25 @@ class ShardedScanModel:
         spec_b = P(DATA_AXIS)      # shard batch axis
         spec_r = P()               # replicated
 
-        self._step1 = jax.jit(
+        # AotJit: the serialized-executable cache (utils/aot_cache.py)
+        # applies to sharded programs too — the executable records its
+        # device assignment, and the key covers mesh topology via the
+        # lowered module text + device count.
+        self._step1 = AotJit(
             shard_map(
                 step1, mesh=self.mesh,
                 in_specs=(spec_b, spec_b, spec_r), out_specs=spec_b,
-            )
+            ),
+            name="sh_step1",
         )
 
-        self._step2 = jax.jit(
+        self._step2 = AotJit(
             shard_map(
                 step2, mesh=self.mesh,
                 in_specs=(spec_b, spec_b, spec_b, spec_r),
                 out_specs=(spec_b, spec_b),
-            )
+            ),
+            name="sh_step2",
         )
 
         step1_lean = functools.partial(_step1_counts_lean, k=k, greedy=base.greedy_strategy)
@@ -74,18 +81,20 @@ class ShardedScanModel:
             slide=base.slide, jump=base.jump, min_size=base.min_size,
             strategy=base.window_strategy,
         )
-        self._step1_lean = jax.jit(
+        self._step1_lean = AotJit(
             shard_map(
                 step1_lean, mesh=self.mesh,
                 in_specs=(spec_b, spec_b, spec_r), out_specs=spec_b,
-            )
+            ),
+            name="sh_step1_lean",
         )
-        self._step2_lean = jax.jit(
+        self._step2_lean = AotJit(
             shard_map(
                 step2_lean, mesh=self.mesh,
                 in_specs=(spec_b, spec_b, spec_b, spec_r),
                 out_specs=(spec_b, spec_b),
-            )
+            ),
+            name="sh_step2_lean",
         )
 
     # -- host-facing API (packs on host, same wire format as the base) -----
