@@ -97,8 +97,10 @@ class AotJit:
         self._memo: Dict[Any, Any] = {}   # sig -> Compiled | None(fallback)
         self._lock = threading.Lock()
         # observability for tests / bench: how the current memo entries
-        # were obtained ("disk" | "compile" | "jit")
+        # were obtained ("disk" | "compile" | "jit") and which cache
+        # file backs each (bench uses this to keep/restore best draws)
         self.sources: Dict[Any, str] = {}
+        self.paths: Dict[Any, str] = {}
 
     # -- signature over dynamic args (shape/dtype) + static kwargs --------
     def _sig(self, args, kwargs):
@@ -131,6 +133,7 @@ class AotJit:
         ).hexdigest()
         cdir = aot_cache_dir()
         path = os.path.join(cdir, f"{self._name}-{key[:32]}.aot")
+        self._last_path = path
         if os.path.exists(path):
             try:
                 with open(path, "rb") as fh:
@@ -175,12 +178,15 @@ class AotJit:
             with self._lock:
                 exe = self._memo.get(sig, False)
                 if exe is False:
+                    self._last_path = None
                     try:
                         exe, src = self._load_or_compile(args, kwargs)
                     except Exception:
                         exe, src = None, "jit"
                     self._memo[sig] = exe
                     self.sources[sig] = src
+                    if self._last_path:
+                        self.paths[sig] = self._last_path
         if exe is None:
             return self._jit(*args, **kwargs)
         return exe(*args, **self._dynamic_kwargs(kwargs))
