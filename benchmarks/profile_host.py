@@ -69,6 +69,48 @@ def main():
         n_batches += 1
     asm_s = time.time() - t0
 
+    # pass 3: global-mode shard assembly (round-4 block-piece path of
+    # _run_phrase_global: per-block vectorized ends + slab concatenates
+    # + per-read meta tuples).  Target: within ~1.2x of pass 2, so a
+    # pod's host side keeps up with files mode at the same batch size.
+    t0 = time.time()
+    it = eng._iter_blocks(fq)
+    cur = None
+    exhausted = False
+    order0 = 0
+    while True:
+        buf = []
+        pieces_e, pieces_l = [], []
+        while len(buf) < B and not exhausted:
+            if cur is None:
+                try:
+                    blk = next(it)
+                    e, ln = batching.ends_batch_flat(blk.codes, blk.offs,
+                                                     cfg.no_bp)
+                    cur = [blk, e, ln, 0]
+                except StopIteration:
+                    exhausted = True
+                    break
+            blk, e, ln, pos = cur
+            take = min(B - len(buf), len(blk) - pos)
+            pieces_e.append(e[pos:pos + take])
+            pieces_l.append(ln[pos:pos + take])
+            for j in range(pos, pos + take):
+                buf.append((0, fq, order0 + j, blk.ids[j], blk, j))
+            cur[3] = pos + take
+            if cur[3] >= len(blk):
+                order0 += len(blk)
+                cur = None
+        if not buf:
+            break
+        n = len(buf)
+        ends = np.full((B, 2, cfg.no_bp), 0xFF, np.uint8)
+        ends_len = np.zeros(B, np.int32)
+        ends[:n] = np.concatenate(pieces_e, axis=0)
+        ends_len[:n] = np.concatenate(pieces_l)
+        batching.pack_codes(ends.reshape(B * 2, -1))
+    glob_s = time.time() - t0
+
     out = {
         "host_reads_per_s": round(reads / asm_s),
         "host_mbps": round(bases / asm_s / 1e6, 1),
@@ -78,6 +120,8 @@ def main():
             "parse_encode_reads_per_s": round(reads / parse_s),
             "parse_encode_mbps": round(bases / parse_s / 1e6, 1),
             "batch_assembly_overhead_s": round(asm_s - parse_s, 2),
+            "global_assembly_reads_per_s": round(reads / glob_s),
+            "global_vs_files_ratio": round(glob_s / asm_s, 3),
         },
     }
     print(json.dumps(out))
