@@ -132,17 +132,33 @@ class RecordReader {
       return false;
     }
     rec.header.assign(line_, 1, std::string::npos);
-    if (!lr_.getline(rec.seq)) {
-      malformed_ = true;  // header without sequence
+    // sequence wraps over any number of lines until the '+' separator
+    // (Bio.SeqIO envelope; 4-line files take one pass)
+    rec.seq.clear();
+    bool saw_plus = false;
+    while (lr_.getline(line_)) {
+      if (!line_.empty() && line_[0] == '+') {
+        saw_plus = true;
+        break;
+      }
+      rec.seq += line_;
+    }
+    if (!saw_plus) {
+      malformed_ = true;  // EOF before the '+' line
       return false;
     }
-    std::string plus;
-    if (!lr_.getline(plus) || plus.empty() || plus[0] != '+') {
-      malformed_ = true;
-      return false;
+    // quality is length-delimited (lines may start with '@'), never
+    // marker-delimited
+    rec.qual.clear();
+    while (rec.qual.size() < rec.seq.size()) {
+      if (!lr_.getline(line_)) {
+        malformed_ = true;  // quality shorter than sequence
+        return false;
+      }
+      rec.qual += line_;
     }
-    if (!lr_.getline(rec.qual)) {
-      malformed_ = true;
+    if (rec.qual.size() != rec.seq.size()) {
+      malformed_ = true;  // quality overshot the sequence length
       return false;
     }
     if (!lr_.getline(line_)) done_ = true;

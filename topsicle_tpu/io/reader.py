@@ -5,11 +5,17 @@ Replicates the observable behavior of the reference's I/O layer
 Bio.SeqIO):
 
 - format is sniffed from the first character: '@' -> fastq, '>' -> fasta
-  (allsteps.py:41-47); sniffing failure yields None;
+  (allsteps.py:41-47); an unrecognizable file raises ValueError from
+  parse_records — the reference crashes on such inputs (allsteps.py
+  returns None and callers iterate it); the engine catches this and
+  skips the file loudly, identically for this reader and the native
+  C++ one;
 - record id = first whitespace-delimited token of the header (Biopython
   convention);
-- FASTA sequences may wrap over multiple lines; FASTQ records are the
-  standard 4-line form (ONT/PacBio emit 4-line records).
+- FASTA sequences may wrap over multiple lines; FASTQ accepts both the
+  standard 4-line form (what ONT/PacBio emit) and wrapped/multi-line
+  records (sequence lines until the '+' separator, then quality lines
+  until the lengths match — Bio.SeqIO's envelope).
 """
 
 from __future__ import annotations
@@ -78,10 +84,17 @@ def extension_format(path: str) -> str:
 
 
 def parse_records(path: str, fmt: Optional[str] = None) -> Iterator[SeqRecord]:
-    """Yield SeqRecords; `fmt` overrides sniffing."""
+    """Yield SeqRecords; `fmt` overrides sniffing.
+
+    Raises ValueError when the format cannot be sniffed: silently
+    yielding nothing would let a stray non-FASTA/Q file (or a mistyped
+    --inputDir) be marked complete with zero rows, and would diverge
+    from the native reader, which errors on the same input."""
     fmt = fmt or sniff_format(path)
     if fmt is None:
-        return
+        raise ValueError(
+            f"cannot determine input format of {path}: first character "
+            "is neither '@' (FASTQ) nor '>' (FASTA)")
     with _open_text(path) as fh:
         if fmt == "fastq":
             yield from _parse_fastq(fh)
@@ -90,22 +103,45 @@ def parse_records(path: str, fmt: Optional[str] = None) -> Iterator[SeqRecord]:
 
 
 def _parse_fastq(fh: io.TextIOBase) -> Iterator[SeqRecord]:
+    """4-line and wrapped FASTQ: sequence lines accumulate until the
+    '+' separator; quality lines accumulate until their length reaches
+    the sequence's (they may legally start with '@', so quality is
+    length-delimited, never marker-delimited — Bio.SeqIO semantics)."""
+    line = fh.readline()
     while True:
-        header = fh.readline()
-        if not header:
+        if not line:
             return
-        header = header.rstrip("\n")
+        header = line.rstrip("\n")
         if not header:
+            line = fh.readline()
             continue
         if not header.startswith("@"):
             raise ValueError(f"malformed FASTQ header: {header[:80]!r}")
-        seq = fh.readline().rstrip("\n")
-        plus = fh.readline()
-        if not plus.startswith("+"):
+        seq_parts = []
+        line = fh.readline()
+        while line and not line.startswith("+"):
+            seq_parts.append(line.rstrip("\n"))
+            line = fh.readline()
+        if not line.startswith("+"):
             raise ValueError("malformed FASTQ record: missing '+' line")
-        qual = fh.readline().rstrip("\n")
+        seq = "".join(seq_parts)
+        qual_parts: list = []
+        qlen = 0
+        while qlen < len(seq):
+            line = fh.readline()
+            if not line:
+                raise ValueError("truncated FASTQ record: quality shorter "
+                                 "than sequence")
+            q = line.rstrip("\n")
+            qual_parts.append(q)
+            qlen += len(q)
+        if qlen > len(seq):
+            raise ValueError("malformed FASTQ record: quality longer than "
+                             "sequence")
         h = header[1:]
-        yield SeqRecord(id=h.split()[0] if h else "", header=h, seq=seq, qual=qual)
+        yield SeqRecord(id=h.split()[0] if h else "", header=h, seq=seq,
+                        qual="".join(qual_parts))
+        line = fh.readline()
 
 
 def _parse_fasta(fh: io.TextIOBase) -> Iterator[SeqRecord]:
