@@ -274,8 +274,13 @@ class OracleEngine:
             path = os.path.join(cfg.output_dir, f"rawcount_{phrase}_{image_num}.csv")
             maxc = min(cfg.maxlengthtelo, len(seq))
             s = (seq if hit.tail == "forward" else seq[::-1])[cfg.trimfirst:maxc].upper()
+            # LF line endings: the reference writes this frame with
+            # pandas (main.py:146-150), whose output is LF on Linux —
+            # the committed demo artifact confirms (csv.writer's default
+            # CRLF would diverge from both it and the jax engine's
+            # pandas writer)
             with open(path, "w", newline="") as fh:
-                w = _csv.writer(fh)
+                w = _csv.writer(fh, lineterminator="\n")
                 w.writerow(["", "tail", "position", "pattern", "count"])
                 idx = 0
                 for st in starts:

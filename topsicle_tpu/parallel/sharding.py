@@ -145,8 +145,25 @@ class ShardedScanModel:
         t, has = self.step2_boundary_launch(tail_codes, n_windows, lens)
         return np.asarray(t), np.asarray(has)
 
-    def rawcounts(self, tail_codes: np.ndarray) -> np.ndarray:
-        return self.base.rawcounts(tail_codes)
+    def rawcounts(self, tail_codes: np.ndarray,
+                  lens: np.ndarray | None = None) -> np.ndarray:
+        return self.base.rawcounts(tail_codes, lens)
+
+    # shared-pack scan API (models.telomere): boundary runs sharded on
+    # the same wire arrays; rawcounts (per-read extras) stays on the
+    # base single-device program like global mode's extras
+    def pack_scan_batch(self, tail_codes: np.ndarray,
+                        lens: np.ndarray | None = None):
+        return self.base.pack_scan_batch(tail_codes, lens)
+
+    def step2_boundary_launch_packed(self, packed, n_windows: np.ndarray):
+        kind, a, b = packed
+        prog = self._step2_lean if kind == "lean" else self._step2
+        return prog(jnp.asarray(a), jnp.asarray(b), jnp.asarray(n_windows),
+                    self.base.table)
+
+    def rawcounts_launch_packed(self, packed):
+        return self.base.rawcounts_launch_packed(packed)
 
     # passthroughs
     @property

