@@ -162,14 +162,19 @@ def binseg_l2_device(y_int, num_windows, jump: int = 5, min_size: int = 2):
     tt = padf(jnp.broadcast_to(t, (B, J)), 0)
     valid = padf(jnp.broadcast_to(valid, (B, J)), False)
 
-    # D = t*(n-t) <= W^2/4: one 32-bit limb suffices for W <= 131072
+    # D = t*(n-t) <= W^2/4: one 32-bit limb suffices for W <= 131071
     mul = _mul_limbs_1 if (W * W) // 4 <= 0xFFFFFFFF else _mul_limbs
     sq = _sq_limbs(A)
     # Pair CONTIGUOUS halves each level.  Strided pairings (0::2/1::2,
     # or an 8-ary i::8 grouping) measured 2.8-4x slower on TPU — minor-
     # axis strided slices force lane relayouts; contiguous halves are
     # free.  The tie rule compares actual t values inside _pick, so the
-    # tree shape cannot change the first-best-wins result.
+    # tree shape cannot change the first-best-wins result.  A 4-ary
+    # contiguous-quarters variant (5 levels instead of 10) measured
+    # 0.46 vs 0.43-0.46 ms/iter same-session on the full fused chain —
+    # no win: inside one jitted program the levels are data
+    # dependencies, not kernel launches, so halving the depth buys
+    # nothing (2026-08-21 A/B).
     while D.shape[1] > 1:
         h = D.shape[1] // 2
         sq, D, tt, valid = _pick(
