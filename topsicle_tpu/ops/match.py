@@ -412,12 +412,17 @@ def boundary_sum_signal(
     entries (-1) never match and contribute their floor of 1 via the
     popcount term, exactly like the per-K paths.
 
-    Negative result, measured 2026-08-21 (BASELINE.md): decimating
+    Negative results, measured 2026-08-21 (BASELINE.md): (a) decimating
     both planes into `slide` phase planes before reducing (width
     ~J/slide per phase on 1/slide-length data — nominally ~2.5x less
     doubling traffic) measured 0.51-0.56 ms/iter vs 0.48-0.51 for this
     full-width form; the stride-`slide` minor-axis slices it needs
-    defeat 128-lane vectorization and eat the savings.  Kept simple."""
+    defeat 128-lane vectorization and eat the savings.  (b) replacing
+    _sliding_reduce + strided slice with lax.reduce_window((1, J)
+    window, (1, slide) stride, 'valid') — nominally ~4x fewer adds and
+    no [B, T] intermediates — measured 0.463-0.464 vs 0.453-0.467
+    ms/iter same-session on the full chain: XLA's reduce_window
+    schedule lands on the same HBM wall.  Kept simple."""
     J = window_size - k
     B = codes.shape[0]
     K = int(table.shape[0])
