@@ -12,6 +12,7 @@ physical cores.
 Usage:  [JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8]
         python benchmarks/scaling.py [per_device_batch] [read_len]
 """
+import os
 import sys, time
 import numpy as np
 
@@ -20,6 +21,14 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     import jax
+
+    # The axon sitecustomize re-pins jax_platforms at interpreter start,
+    # so the env var alone cannot select the virtual CPU mesh (CLAUDE.md)
+    # — honor it via jax.config before backend init, like bench.py.
+    plat = os.environ.get("JAX_PLATFORMS") or os.environ.get(
+        "TOPSICLE_BENCH_PLATFORM")
+    if plat and "axon" not in plat:
+        jax.config.update("jax_platforms", plat)
 
     from topsicle_tpu.io import batch as batching
     from topsicle_tpu.kmers import telophrase_kmers
