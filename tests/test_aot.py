@@ -138,6 +138,73 @@ def test_sharded_model_roundtrip_under_aot(aot_env):
     np.testing.assert_array_equal(h1, hb)
 
 
+def test_precompile_warms_every_program(aot_env, tmp_path):
+    """`topsicle --precompile` compiles + serializes both stages in both
+    wire formats (and rawcounts when flagged); a fresh model then loads
+    every one of them from disk."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from topsicle_tpu.config import TopsicleConfig
+    from topsicle_tpu.io import batch as batching
+    from topsicle_tpu.io.writer import RunLog
+    from topsicle_tpu.kmers import telophrase_kmers
+    from topsicle_tpu.models import TelomereScanModel
+    from topsicle_tpu.pipeline import JaxEngine
+
+    cfg = TopsicleConfig(
+        input_dir=str(tmp_path), output_dir=str(tmp_path / "o"),
+        pattern="CCCTAAA", slide=6, batch_size=8, maxlengthtelo=1100,
+        rawcountpattern=True)
+    n = JaxEngine(cfg, log=RunLog(None, echo=False)).precompile()
+    assert n == 6
+    # the test mesh has 8 virtual devices, so the engine's stage
+    # programs are the shard_map variants; rawcounts stays on the base
+    names = sorted({f.split("-")[0] for f in os.listdir(aot_env)
+                    if f.endswith(".aot")})
+    assert names == ["rawcounts", "rawcounts_lean", "sh_step1",
+                     "sh_step1_lean", "sh_step2", "sh_step2_lean"]
+
+    # a fresh engine-shaped model (fresh process stand-in) must hit
+    # disk for all six programs
+    from topsicle_tpu.parallel import ShardedScanModel, data_mesh
+
+    m = ShardedScanModel(
+        TelomereScanModel(telophrase_kmers("CCCTAAA", 5), slide=6),
+        mesh=data_mesh(8))
+    B = 8
+    ends = np.zeros((B, 2, 1000), np.uint8)
+    el = np.full(B, 1000, np.int32)
+    m.step1_counts(ends, el)
+    dirty = ends.copy(); dirty[0, 0, 0] = 0xFF
+    m.step1_counts(dirty, el)
+    L = 1024
+    tails = np.zeros((B, L), np.uint8)
+    lens = np.full(B, L, np.int32)
+    nw = batching.window_counts_for_lengths(lens, 100, 6)
+    m.step2_boundary(tails, nw, lens)
+    dt = tails.copy(); dt[0, 0] = 0xFF
+    m.step2_boundary(dt, nw, lens)
+    m.rawcounts(tails, lens)
+    m.rawcounts(dt, lens)
+    srcs = []
+    for prog in (m._step1_lean, m._step1, m._step2_lean, m._step2,
+                 m.base._rawcounts_lean, m.base._rawcounts):
+        srcs.extend(prog.sources.values())
+    assert srcs == ["disk"] * 6
+
+
+def test_precompile_cli_flag(aot_env, tmp_path):
+    from topsicle_tpu.cli import main as cli_main
+
+    rc = cli_main([
+        "--inputDir", str(tmp_path), "--outputDir", str(tmp_path / "o"),
+        "--pattern", "CCCTAAA", "--slide", "6", "--batchSize", "8",
+        "--maxlengthtelo", "1100", "--precompile"])
+    assert rc == 0
+    assert any(f.endswith(".aot") for f in os.listdir(aot_env))
+
+
 def test_model_end_to_end_under_aot(aot_env):
     """The whole launch path (pack + program) is bit-identical with the
     cache on, across a simulated process restart."""

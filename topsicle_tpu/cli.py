@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Continue an interrupted run: keep completed (file, k) units from the existing CSV/manifest and recompute only the rest")
     p.add_argument("--traceDir", metavar="FOLDER", type=str, default=None,
                    help="Write a jax.profiler trace of the run to this directory")
+    p.add_argument("--precompile", action="store_true",
+                   help="Compile and cache every device program this "
+                        "configuration uses, then exit without reading input "
+                        "(run once per machine/cache volume so later jobs "
+                        "start instantly; see the AOT executable cache)")
     p.add_argument("--scanLengthMode", choices=["static", "bucket"], default="static",
                    help="Step-2 padding: 'static' = one device program for the whole "
                         "run (fast startup); 'bucket' = pad per batch (less compute "
@@ -149,6 +154,17 @@ def main(argv=None) -> int:
     log.plain("---------------------")
 
     from topsicle_tpu.pipeline import make_engine
+
+    if args.precompile:
+        if cfg.engine != "jax":
+            log("--precompile only applies to the jax engine")
+            return 2
+        from topsicle_tpu.pipeline import JaxEngine
+
+        n = JaxEngine(cfg, log=log).precompile()
+        log(f"precompiled {n} device programs; cache is warm")
+        print(f"Elapsed time(s): {time.time() - start_time:.2f} seconds")
+        return 0
 
     try:
         make_engine(cfg, log=log).run()

@@ -133,6 +133,49 @@ class JaxEngine:
             self.log(f"warmup dispatch failed ({type(e).__name__}: {e}); "
                      "first real batch will absorb compile time")
 
+    # -- fleet warmup ------------------------------------------------------
+    def precompile(self) -> int:
+        """Compile AND AOT-serialize every device program this
+        configuration will use (both stages, both wire formats, the
+        rawcounts programs when --plot/--rawcountpattern is set), then
+        return the program count.  Run once per machine image /
+        cache volume (`topsicle --precompile ...`): on deployments with
+        slow remote compilation every later job process loads the
+        serialized executables in under a second (utils/aot_cache.py).
+        No reference analog — the reference has no compile step."""
+        cfg = self.cfg
+        n_programs = 0
+        for phrase in cfg.telophrases():
+            kmers = patterns_to_search(cfg.pattern, phrase)
+            model = self._model(phrase, kmers)
+            if not hasattr(model, "pack_scan_batch"):
+                continue    # host oracle fallback (k > device capacity)
+            B = cfg.batch_size
+            ends = np.zeros((B, 2, cfg.no_bp), np.uint8)
+            ends_len = np.full(B, cfg.no_bp, np.int32)
+            np.asarray(model.step1_counts_launch(ends, ends_len))
+            dirty = ends.copy()
+            dirty[0, 0, 0] = 0xFF          # in-prefix invalid => dense wire
+            np.asarray(model.step1_counts_launch(dirty, ends_len))
+            L = cfg.static_scan_length() or cfg.length_bucket_quantum
+            tails = np.zeros((B, L), np.uint8)
+            lens = np.full(B, L, np.int32)
+            nw = batching.window_counts_for_lengths(
+                lens, cfg.window_size, cfg.slide_value())
+            model.step2_boundary(tails, nw, lens)
+            dt = tails.copy()
+            dt[0, 0] = 0xFF
+            model.step2_boundary(dt, nw, lens)
+            n_programs += 4
+            if cfg.rawcountpattern or cfg.plot:
+                np.asarray(model.rawcounts_launch_packed(
+                    model.pack_scan_batch(tails, lens)))
+                np.asarray(model.rawcounts_launch_packed(
+                    model.pack_scan_batch(dt, lens)))
+                n_programs += 2
+            self.log(f"precompile: k={phrase} programs ready")
+        return n_programs
+
     # -- step 1 ------------------------------------------------------------
     def _select_hits(self, counts: np.ndarray, cutoff: float
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -43,6 +43,8 @@ import tempfile
 import threading
 from typing import Any, Dict, Optional, Tuple
 
+import numpy as np
+
 
 def aot_cache_dir() -> str:
     env = os.environ.get("TOPSICLE_AOT_DIR")
@@ -183,10 +185,47 @@ class AotJit:
                         exe, src = self._load_or_compile(args, kwargs)
                     except Exception:
                         exe, src = None, "jit"
+                    if exe is not None and src == "disk":
+                        exe = self._validated(exe, sig, args, kwargs)
+                        src = self.sources.get(sig, src)
                     self._memo[sig] = exe
-                    self.sources[sig] = src
+                    self.sources.setdefault(sig, src)
                     if self._last_path:
                         self.paths[sig] = self._last_path
         if exe is None:
             return self._jit(*args, **kwargs)
         return exe(*args, **self._dynamic_kwargs(kwargs))
+
+    def _validated(self, exe, sig, args, kwargs):
+        """XLA:CPU's AOT loader occasionally deserializes an executable
+        that fails at run time ('Function ... not found') even on the
+        same machine; the TPU loader has shown no such failures.  On the
+        CPU backend, execute the freshly loaded binary once and SYNC
+        before trusting it — a failure deletes the stale entry and
+        recompiles.  On TPU the load stays async (a synchronous probe
+        would stall the engine's warmup-overlap on congested remote
+        services for no observed benefit)."""
+        import jax
+
+        if jax.default_backend() != "cpu":
+            self.sources[sig] = "disk"
+            return exe
+        try:
+            out = exe(*args, **self._dynamic_kwargs(kwargs))
+            for leaf in jax.tree_util.tree_leaves(out):
+                np.asarray(leaf)
+            self.sources[sig] = "disk"
+            return exe
+        except Exception:
+            try:
+                if self._last_path and os.path.exists(self._last_path):
+                    os.remove(self._last_path)
+            except OSError:
+                pass
+            try:
+                exe, src = self._load_or_compile(args, kwargs)
+                self.sources[sig] = src
+                return exe
+            except Exception:
+                self.sources[sig] = "jit"
+                return None
