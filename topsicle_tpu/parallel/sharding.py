@@ -12,7 +12,6 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
