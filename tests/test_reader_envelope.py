@@ -63,6 +63,16 @@ def test_unrecognized_file_raises(tmp_path):
         list(reader.parse_records(str(p)))
 
 
+def test_wrapped_fastq_gz(tmp_path):
+    import gzip
+
+    p = tmp_path / "w.fastq.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(WRAPPED)
+    recs = list(reader.parse_records(str(p)))
+    assert [r.seq for r in recs] == ["ACGTACGTACGTACGT", "AAAACCCTAA"]
+
+
 def test_native_wrapped_matches_python(tmp_path):
     native = pytest.importorskip("topsicle_tpu.native")
     if not native.native_available():
@@ -99,6 +109,26 @@ def _good_fastq(path):
             rest = "".join(rng.choice(list("ACGT"), 9000))
             seq = telo + rest
             fh.write(f"@read{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+
+
+def test_global_mode_skips_stray_file(tmp_path):
+    """shardMode=global reaches the same logged-skip outcome through
+    its block stream (the stray file's unit stays un-done)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _good_fastq(indir / "good.fastq")
+    (indir / "stray.txt").write_text("not sequence data\n")
+    out = tmp_path / "out"
+    cfg = TopsicleConfig(
+        input_dir=str(indir), output_dir=str(out), pattern="CCCTAAA",
+        slide=6, batch_size=8, shard_mode="global", native_io=False)
+    results = JaxEngine(cfg, log=RunLog(str(out), echo=False)).run()
+    assert len(results) == 2
+    log_text = (out / "topsicle_run.log").read_text()
+    assert "skipping this file" in log_text and "stray.txt" in log_text
 
 
 @pytest.mark.parametrize("use_native", [False, None])
