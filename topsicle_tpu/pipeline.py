@@ -980,6 +980,13 @@ class JaxEngine:
                         s_.close()
                 self.log("finished processing all reads")
         self.log(timers.summary())
+        from topsicle_tpu.utils.aot_cache import aot_enabled, cache_stats
+
+        if aot_enabled():
+            st = cache_stats()
+            if st["disk"] or st["compile"]:
+                self.log(f"device programs: {st['disk']} loaded from the "
+                         f"executable cache, {st['compile']} compiled fresh")
 
         if dist:
             dist_mod.mark_done(cfg.output_dir, pid, nproc)

@@ -41,9 +41,23 @@ import os
 import pickle
 import tempfile
 import threading
+import weakref
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
+
+_REGISTRY: "weakref.WeakSet[AotJit]" = weakref.WeakSet()
+
+
+def cache_stats() -> Dict[str, int]:
+    """Process-wide tally of how this process's programs were obtained:
+    {'disk': loaded from the executable cache, 'compile': compiled (and
+    serialized) fresh, 'jit': fell back to plain jit}."""
+    stats = {"disk": 0, "compile": 0, "jit": 0}
+    for a in list(_REGISTRY):
+        for s in a.sources.values():
+            stats[s] = stats.get(s, 0) + 1
+    return stats
 
 
 def aot_cache_dir() -> str:
@@ -103,6 +117,7 @@ class AotJit:
         # file backs each (bench uses this to keep/restore best draws)
         self.sources: Dict[Any, str] = {}
         self.paths: Dict[Any, str] = {}
+        _REGISTRY.add(self)
 
     # -- signature over dynamic args (shape/dtype) + static kwargs --------
     def _sig(self, args, kwargs):
