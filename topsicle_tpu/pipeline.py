@@ -261,30 +261,39 @@ class JaxEngine:
 
         return Prefetcher(self._iter_blocks(path), depth=2)
 
-    def _step1_file(self, path: str, kmers: Sequence[str], model,
-                    source=None) -> List[_Passer]:
-        """Streaming step 1 with batches kept in flight: the device
-        computes block i while the host parses/encodes block i+1.  One
-        block = one device batch; ends assembly and TRC selection are
-        vectorized over the whole block (no per-read host loop on the
-        hot path — only passing reads touch Python, for tail slicing)."""
+    def _step1_stream(self, path: str, kmers: Sequence[str], model,
+                      source=None, timers=None):
+        """Streaming step 1: a generator of _Passer in input order, with
+        batches kept in flight — the device computes block i while the
+        host parses/encodes block i+1.  One block = one device batch;
+        ends assembly and TRC selection are vectorized over the whole
+        block (no per-read host loop on the hot path — only passing
+        reads touch Python, for tail slicing).  Yielding (instead of
+        round 3's materialized list) lets the caller pipeline step 2
+        behind step 1 with O(batch) peak memory: a monolithic
+        whole-genome file no longer accumulates every passing read's
+        tail slice (~20 kB each) before the first boundary runs."""
+        import contextlib
+
         cfg = self.cfg
         cutoff = cfg.min_cutoff()
         B = cfg.batch_size
         depth = 2
-        passers: List[_Passer] = []
         pending = []  # [(order0, block, device_counts)]
+        stage = (lambda: timers.stage("step1")) if timers is not None \
+            else contextlib.nullcontext
 
         def drain_one():
             order0, blk, fut = pending.pop(0)
             counts = np.asarray(fut)[: len(blk)]
             keep, sel_j, fwd, trc = self._select_hits(counts, cutoff)
             offs = blk.offs
+            out = []
             for i in np.nonzero(keep)[0]:
                 i = int(i)
                 codes = blk.codes[offs[i]:offs[i + 1]]
                 tail = "forward" if fwd[i] else "reverse"
-                passers.append(
+                out.append(
                     _Passer(
                         order0 + i, blk.ids[i], kmers[int(sel_j[i])], tail,
                         float(trc[i]),
@@ -296,27 +305,37 @@ class JaxEngine:
                         int(offs[i + 1] - offs[i]),
                     )
                 )
+            return out
 
         # parse/encode ahead on a reader thread (bounded by ~2 blocks)
         if source is None:
             source = self._read_source(path)
         order = 0
         for blk in source:
-            n = len(blk)
-            ends, ends_len_blk = batching.ends_batch_flat(
-                blk.codes, blk.offs, cfg.no_bp)
-            ends_len = np.zeros(B, np.int32)
-            ends_len[:n] = ends_len_blk
-            if n < B:  # pad to the static batch shape
-                pad = np.full((B - n, 2, cfg.no_bp), 0xFF, np.uint8)
-                ends = np.concatenate([ends, pad], axis=0)
-            pending.append((order, blk, model.step1_counts_launch(ends, ends_len)))
-            order += n
-            if len(pending) > depth:
-                drain_one()
+            with stage():
+                n = len(blk)
+                ends, ends_len_blk = batching.ends_batch_flat(
+                    blk.codes, blk.offs, cfg.no_bp)
+                ends_len = np.zeros(B, np.int32)
+                ends_len[:n] = ends_len_blk
+                if n < B:  # pad to the static batch shape
+                    pad = np.full((B - n, 2, cfg.no_bp), 0xFF, np.uint8)
+                    ends = np.concatenate([ends, pad], axis=0)
+                pending.append(
+                    (order, blk, model.step1_counts_launch(ends, ends_len)))
+                order += n
+                drained = drain_one() if len(pending) > depth else []
+            yield from drained
         while pending:
-            drain_one()
-        return passers
+            with stage():
+                drained = drain_one()
+            yield from drained
+
+    def _step1_file(self, path: str, kmers: Sequence[str], model,
+                    source=None) -> List[_Passer]:
+        """Materialized _step1_stream (the --read_check debug path and
+        the benchmarks use this form)."""
+        return list(self._step1_stream(path, kmers, model, source=source))
 
     # -- subset emission ---------------------------------------------------
     def _write_subset(self, path: str, hit_ids: set) -> None:
@@ -351,19 +370,29 @@ class JaxEngine:
         self.log(f"Temporary fasta file with TRC more than {cfg.min_cutoff()}:", out_path)
 
     # -- step 2 ------------------------------------------------------------
-    def _step2_batches(self, passers: List[_Passer], model):
-        """Yield (sub-list of passers, boundaries, (raw_future,
-        n_windows) or None) in order, keeping up to 2 device batches in
-        flight ahead of the consumer.  When per-read extras are wanted
-        (--plot/--rawcountpattern) and the model supports the
-        shared-pack API, the rawcounts program launches on the SAME
-        packed wire arrays as the boundary — one host pack, lean wire
-        when clean, and the [B, K, W] tensor pipelines with everything
-        else instead of a packed-again synchronous re-run per batch
-        (VERDICT r3 item 6)."""
+    def _step2_batches(self, passers, model, timers=None):
+        """Consume an iterable of _Passer (list OR the _step1_stream
+        generator) and yield (sub-list of passers, boundaries,
+        (raw_future, n_windows) or None) in order, keeping up to 2
+        device batches in flight ahead of the consumer.  With a
+        generator input, step-2 batches launch while step 1 is still
+        scanning later blocks — the two stages overlap on device and
+        peak host memory stays O(batch).
+
+        When per-read extras are wanted (--plot/--rawcountpattern) and
+        the model supports the shared-pack API, the rawcounts program
+        launches on the SAME packed wire arrays as the boundary — one
+        host pack, lean wire when clean, and the [B, K, W] tensor
+        pipelines with everything else instead of a packed-again
+        synchronous re-run per batch (VERDICT r3 item 6)."""
+        import contextlib
+        import itertools
+
         cfg = self.cfg
         B = cfg.batch_size
         depth = 2
+        stage = (lambda: timers.stage("step2")) if timers is not None \
+            else contextlib.nullcontext
         want_extras = (cfg.plot or cfg.rawcountpattern) and \
             hasattr(model, "pack_scan_batch")
 
@@ -402,15 +431,22 @@ class JaxEngine:
                 bounds.append(b)
             return group, bounds, extras
 
-        groups = [passers[i : i + B] for i in range(0, len(passers), B)]
+        it = iter(passers)
         inflight = []
-        for group in groups:
-            inflight.append((group, *launch(group)))
-            if len(inflight) > depth:
+        while True:
+            # pulling the next group advances _step1_stream (its time
+            # lands in the step1 stage, not here)
+            group = list(itertools.islice(it, B))
+            if group:
+                with stage():
+                    inflight.append((group, *launch(group)))
+            if (group and len(inflight) > depth) or (not group and inflight):
                 g, f, e = inflight.pop(0)
-                yield consume(g, f, e)
-        for g, f, e in inflight:
-            yield consume(g, f, e)
+                with stage():      # the device wait; row emission happens
+                    res = consume(g, f, e)     # in the consumer, unstaged
+                yield res
+            if not group and not inflight:
+                return
 
     # -- optional per-read outputs (--plot / --rawcountpattern) ------------
     def _per_read_extras(self, group: List[_Passer], model, phrase: int,
@@ -918,52 +954,80 @@ class JaxEngine:
                     ensure_ahead(path)
 
                     self.log("subsetting raw dataset based on TRC cutoff")
+                    # Step 2 pipelines directly behind the step-1 stream
+                    # (round 4): boundary batches launch while later
+                    # blocks are still being scanned, and peak host
+                    # memory is O(batch) instead of every passing tail
+                    # of the file.  The unit's rows/aggregates buffer
+                    # until the unit completes, so a mid-file failure
+                    # still contributes nothing (PARITY.md deviation 7);
+                    # the subset (which needs the full hit-id set) is
+                    # written when the stream is exhausted.
+                    hit_ids: List[str] = []
+                    unit_rows: List[tuple] = []     # ReadResult + row args
+                    image_num = 1
                     try:
-                        with timers.stage("step1"):
-                            passers = self._step1_file(path, kmers, model, source=src)
-                        with timers.stage("subset"):
-                            self._write_subset(path, {p.read_id for p in passers})
+                        if cfg.read_check is not None:
+                            passers = self._step1_file(
+                                path, kmers, model, source=src)
+                            with timers.stage("subset"):
+                                self._write_subset(
+                                    path, {p.read_id for p in passers})
+                            self.log("checking specific read:", cfg.read_check)
+                            sel = [p for p in passers
+                                   if p.read_id == cfg.read_check]
+                            if not sel:
+                                raise ValueError(
+                                    f"read {cfg.read_check!r} did not pass the step-1 TRC filter "
+                                    "(the reference crashes on this combination; refusing clearly)"
+                                )
+                            self.log("step 2 on:", cfg.read_check)
+                            stream = iter(sel)
+                            subset_pending = False
+                        else:
+                            def _tracked():
+                                for p in self._step1_stream(
+                                        path, kmers, model, source=src,
+                                        timers=timers):
+                                    hit_ids.append(p.read_id)
+                                    yield p
+                            stream = _tracked()
+                            subset_pending = True
+
+                        for group, bounds, extras in self._step2_batches(
+                                stream, model, timers=timers):
+                            for p, b in zip(group, bounds):
+                                unit_rows.append((p, b))
+                                timers.count(reads=1, bases=p.seq_len)
+                            self._per_read_extras(group, model, phrase,
+                                                  bounds, image_num, extras)
+                            image_num += len(group)
+                        if subset_pending:
+                            with timers.stage("subset"):
+                                self._write_subset(path, set(hit_ids))
                     except reader.InputFileError as e:
                         # One unreadable file must not kill a whole-genome
-                        # run; its unit stays un-done so --resume retries it.
+                        # run; its unit stays un-done (and emits nothing)
+                        # so --resume retries it.
                         self.log(f"ERROR: {e}; skipping this file")
                         continue
                     finally:
                         src.close()
 
-                    if cfg.read_check is not None:
-                        self.log("checking specific read:", cfg.read_check)
-                        sel = [p for p in passers if p.read_id == cfg.read_check]
-                        if not sel:
-                            raise ValueError(
-                                f"read {cfg.read_check!r} did not pass the step-1 TRC filter "
-                                "(the reference crashes on this combination; refusing clearly)"
-                            )
-                        self.log("step 2 on:", cfg.read_check)
-                        passers = sel
-
-                    image_num = 1
-                    n_rows = 0
                     part_rows: List[list] = []
                     unit_trcs: List[float] = []
-                    with timers.stage("step2"):
-                        for group, bounds, extras in self._step2_batches(passers, model):
-                            for p, b in zip(group, bounds):
-                                if dist:
-                                    part_rows.append(
-                                        [lbl, phrase, f"{p.trc:.3f}", p.read_id, b]
-                                    )
-                                else:
-                                    writer.append_csv_row(csv_path, lbl, phrase, p.trc, p.read_id, b)
-                                results.append(ReadResult(lbl, phrase, p.read_id, p.trc, b, p.kmer, p.tail))
-                                phrase_to_telo.setdefault(phrase, []).append(float(b))
-                                phrase_to_trc.setdefault(phrase, []).append(float(p.trc))
-                                unit_trcs.append(float(p.trc))
-                                timers.count(reads=1, bases=p.seq_len)
-                                n_rows += 1
-                            self._per_read_extras(group, model, phrase,
-                                                  bounds, image_num, extras)
-                            image_num += len(group)
+                    for p, b in unit_rows:
+                        if dist:
+                            part_rows.append(
+                                [lbl, phrase, f"{p.trc:.3f}", p.read_id, b]
+                            )
+                        else:
+                            writer.append_csv_row(csv_path, lbl, phrase, p.trc, p.read_id, b)
+                        results.append(ReadResult(lbl, phrase, p.read_id, p.trc, b, p.kmer, p.tail))
+                        phrase_to_telo.setdefault(phrase, []).append(float(b))
+                        phrase_to_trc.setdefault(phrase, []).append(float(p.trc))
+                        unit_trcs.append(float(p.trc))
+                    n_rows = len(unit_rows)
                     if dist:
                         dist_mod.write_part(
                             cfg.output_dir, phrase, file_idx, part_rows,
