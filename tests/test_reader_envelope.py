@@ -111,6 +111,49 @@ def _good_fastq(path):
             fh.write(f"@read{i}\n{seq}\n+\n{'I' * len(seq)}\n")
 
 
+@pytest.mark.parametrize("use_native", [False, None])
+def test_midfile_truncation_contributes_nothing(tmp_path, use_native):
+    """A file that dies MID-stream (truncated gzip after several full
+    blocks) must contribute zero CSV rows and zero aggregate entries
+    even though step-2 batches for its early blocks may already have
+    launched (the round-4 streaming pipeline buffers a unit's rows
+    until the unit completes), and its unit stays un-done."""
+    import gzip
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _good_fastq(indir / "agood.fastq")
+    # telomeric reads so early blocks produce passers, then truncation
+    rng = np.random.default_rng(9)
+    buf = []
+    for i in range(12):
+        seq = ("CCCTAAA" * 220)[:1500] + "".join(rng.choice(list("ACGT"), 9100))
+        buf.append(f"@t{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+    payload = gzip.compress("".join(buf).encode())
+    (indir / "btrunc.fastq.gz").write_bytes(payload[: len(payload) // 2])
+
+    out = tmp_path / f"o_{use_native}"
+    cfg = TopsicleConfig(
+        input_dir=str(indir), output_dir=str(out), pattern="CCCTAAA",
+        slide=6, batch_size=4, native_io=use_native)
+    eng = JaxEngine(cfg, log=RunLog(str(out), echo=False))
+    results = eng.run()
+    assert len(results) == 2                      # only the good file
+    assert all(r.read_id.startswith("read") for r in results)
+    body = (out / "telolengths_all.csv").read_text().splitlines()[1:]
+    assert len(body) == 2 and all(",read" in r for r in body)
+    log_text = (out / "topsicle_run.log").read_text()
+    assert "skipping this file" in log_text and "btrunc" in log_text
+    from topsicle_tpu.utils import RunManifest
+
+    m = RunManifest(str(out))
+    assert m.is_done(str(indir / "agood.fastq"), 5)
+    assert not m.is_done(str(indir / "btrunc.fastq.gz"), 5)
+
+
 def test_global_mode_skips_stray_file(tmp_path):
     """shardMode=global reaches the same logged-skip outcome through
     its block stream (the stray file's unit stays un-done)."""
