@@ -124,8 +124,16 @@ def _draw_history_update(model, source, ms_per_iter, chain_path):
 
     from topsicle_tpu.utils.aot_cache import aot_cache_dir
 
+    if source == "jit":
+        return ms_per_iter, ms_per_iter, 1   # no cache: nothing to pin
     hist_path = os.path.join(aot_cache_dir(), "bench_draws.json")
-    key = f"B{B}xL{READ_LEN}:{model.window_strategy}/{model.greedy_strategy}"
+    # the chain's content-addressed filename identifies the PROGRAM:
+    # without it, draws of different program versions (any code change)
+    # would blend, and keep-best could pin/restore across incomparable
+    # binaries
+    prog = os.path.basename(chain_path) if chain_path else "unknown"
+    key = (f"B{B}xL{READ_LEN}:{model.window_strategy}/"
+           f"{model.greedy_strategy}:{prog}")
     hist = {}
     try:
         with open(hist_path) as fh:

@@ -110,6 +110,28 @@ def test_window_counts_match_oracle(rng):
             assert means[w] == sum(floored) / len(floored)
 
 
+def test_rawcounts_lean_matches_dense(rng):
+    """Clean batches route --rawcountpattern through the lean-wire
+    rawcounts program (rawcounts_launch_packed, round 4); its [B, K, W]
+    values must equal the dense-mask program's exactly — boundary
+    parity does not imply this (the sum-strategy boundary never reads
+    the per-K counts)."""
+    pattern = "CCCTAAA"
+    model = TelomereScanModel(telophrase_kmers(pattern, 5),
+                              window_size=100, slide=6)
+    seqs = [_telomere_like(rng, pattern, 1500, 10000) for _ in range(4)]
+    slices = [batch.extract_tail(batch.encode_read(s), "forward", 100, 20000)
+              for s in seqs]
+    codes, lens = batch.tails_batch(slices, max(len(x) for x in slices))
+    assert all("N" not in s for s in seqs)       # clean => lean eligible
+    dense = model.rawcounts(codes)               # lens omitted => dense
+    lean = model.rawcounts(codes, lens)          # clean + lens => lean
+    kinds = {model.pack_scan_batch(codes)[0],
+             model.pack_scan_batch(codes, lens)[0]}
+    assert kinds == {"dense", "lean"}            # both programs exercised
+    np.testing.assert_array_equal(lean, dense)
+
+
 def _exact_best_t(y_counts, n, jump=5, min_size=2):
     """Brute-force exact rational argmax of the split gain over the
     integer signal; ties -> smallest t."""

@@ -154,6 +154,33 @@ def test_midfile_truncation_contributes_nothing(tmp_path, use_native):
     assert not m.is_done(str(indir / "btrunc.fastq.gz"), 5)
 
 
+def test_midfile_truncation_removes_partial_extras(tmp_path):
+    """--rawcountpattern extras written by a unit's early batches are
+    removed when the unit later fails mid-stream."""
+    import gzip
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rng = np.random.default_rng(11)
+    buf = []
+    for i in range(12):
+        seq = ("CCCTAAA" * 220)[:1500] + "".join(rng.choice(list("ACGT"), 9100))
+        buf.append(f"@t{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+    payload = gzip.compress("".join(buf).encode())
+    (indir / "trunc.fastq.gz").write_bytes(payload[: len(payload) // 2])
+    out = tmp_path / "o"
+    cfg = TopsicleConfig(
+        input_dir=str(indir), output_dir=str(out), pattern="CCCTAAA",
+        slide=6, batch_size=4, maxlengthtelo=2048, rawcountpattern=True,
+        native_io=False)
+    results = JaxEngine(cfg, log=RunLog(str(out), echo=False)).run()
+    assert results == []
+    assert not list(out.glob("rawcount_*.csv"))
+
+
 def test_global_mode_skips_stray_file(tmp_path):
     """shardMode=global reaches the same logged-skip outcome through
     its block stream (the stray file's unit stays un-done)."""

@@ -137,14 +137,19 @@ class JaxEngine:
     def precompile(self) -> int:
         """Compile AND AOT-serialize every device program this
         configuration will use (both stages, both wire formats, the
-        rawcounts programs when --plot/--rawcountpattern is set), then
-        return the program count.  Run once per machine image /
-        cache volume (`topsicle --precompile ...`): on deployments with
-        slow remote compilation every later job process loads the
-        serialized executables in under a second (utils/aot_cache.py).
-        No reference analog — the reference has no compile step."""
+        packed-API boundary used by extras runs, and the rawcounts
+        programs when --plot/--rawcountpattern is set), then return the
+        number of program entries obtained.  Run once per machine
+        image / cache volume (`topsicle --precompile ...`): on
+        deployments with slow remote compilation every later job
+        process loads the serialized executables in under a second
+        (utils/aot_cache.py).  Caveat: with --scanLengthMode bucket,
+        only the base quantum length is warmed (bucketed runs compile
+        one program per observed length bucket).  No reference analog —
+        the reference has no compile step."""
+        from topsicle_tpu.utils.aot_cache import cache_stats
+
         cfg = self.cfg
-        n_programs = 0
         for phrase in cfg.telophrases():
             kmers = patterns_to_search(cfg.pattern, phrase)
             model = self._model(phrase, kmers)
@@ -162,19 +167,29 @@ class JaxEngine:
             lens = np.full(B, L, np.int32)
             nw = batching.window_counts_for_lengths(
                 lens, cfg.window_size, cfg.slide_value())
+            # the production launch (Pallas kernel when selected,
+            # else the XLA programs)...
             model.step2_boundary(tails, nw, lens)
             dt = tails.copy()
             dt[0, 0] = 0xFF
             model.step2_boundary(dt, nw, lens)
-            n_programs += 4
+            # ...AND the packed-API boundary, which extras-enabled runs
+            # always use (the XLA path) — distinct programs when the
+            # Pallas kernel is the plain default
+            for x in model.step2_boundary_launch_packed(
+                    model.pack_scan_batch(tails, lens), nw):
+                np.asarray(x)
+            for x in model.step2_boundary_launch_packed(
+                    model.pack_scan_batch(dt, lens), nw):
+                np.asarray(x)
             if cfg.rawcountpattern or cfg.plot:
                 np.asarray(model.rawcounts_launch_packed(
                     model.pack_scan_batch(tails, lens)))
                 np.asarray(model.rawcounts_launch_packed(
                     model.pack_scan_batch(dt, lens)))
-                n_programs += 2
             self.log(f"precompile: k={phrase} programs ready")
-        return n_programs
+        st = cache_stats()
+        return st["disk"] + st["compile"]
 
     # -- step 1 ------------------------------------------------------------
     def _select_hits(self, counts: np.ndarray, cutoff: float
@@ -495,6 +510,22 @@ class JaxEngine:
                     starts, means, bounds[j], p.read_id, out,
                     xlim=cfg.rangecp or min(cfg.maxlengthtelo, p.seq_len),
                 )
+
+    def _remove_unit_extras(self, phrase: int, image_end: int) -> None:
+        """Delete the per-read extras files (rawcount CSVs / plot PNGs)
+        a failed unit already emitted, numbers 1..image_end-1: a skipped
+        unit must contribute nothing (PARITY.md deviation 7), and the
+        streamed pipeline writes extras before the unit is known to
+        complete."""
+        cfg = self.cfg
+        if not (cfg.plot or cfg.rawcountpattern):
+            return
+        for n in range(1, image_end):
+            for name in (f"rawcount_{phrase}_{n}.csv", f"plot_{phrase}_{n}.png"):
+                try:
+                    os.remove(os.path.join(cfg.output_dir, name))
+                except OSError:
+                    pass
 
     def _write_rawcount(self, p: _Passer, model, counts: np.ndarray,
                         phrase: int, num: int) -> None:
@@ -996,37 +1027,46 @@ class JaxEngine:
 
                         for group, bounds, extras in self._step2_batches(
                                 stream, model, timers=timers):
-                            for p, b in zip(group, bounds):
-                                unit_rows.append((p, b))
-                                timers.count(reads=1, bases=p.seq_len)
                             self._per_read_extras(group, model, phrase,
                                                   bounds, image_num, extras)
                             image_num += len(group)
+                            for p, b in zip(group, bounds):
+                                # keep only the scalar fields: holding the
+                                # _Passer (with its ~20 kB tail slice)
+                                # until unit flush would put peak memory
+                                # right back at O(file)
+                                unit_rows.append(
+                                    (p.read_id, p.trc, p.kmer, p.tail, b))
+                                timers.count(reads=1, bases=p.seq_len)
+                                p.tail_codes = None
                         if subset_pending:
                             with timers.stage("subset"):
                                 self._write_subset(path, set(hit_ids))
                     except reader.InputFileError as e:
                         # One unreadable file must not kill a whole-genome
                         # run; its unit stays un-done (and emits nothing)
-                        # so --resume retries it.
+                        # so --resume retries it.  Extras files already
+                        # written for this unit's early batches are
+                        # removed so the unit truly contributes nothing.
                         self.log(f"ERROR: {e}; skipping this file")
+                        self._remove_unit_extras(phrase, image_num)
                         continue
                     finally:
                         src.close()
 
                     part_rows: List[list] = []
                     unit_trcs: List[float] = []
-                    for p, b in unit_rows:
+                    for rid, trc, kmer, tail, b in unit_rows:
                         if dist:
                             part_rows.append(
-                                [lbl, phrase, f"{p.trc:.3f}", p.read_id, b]
+                                [lbl, phrase, f"{trc:.3f}", rid, b]
                             )
                         else:
-                            writer.append_csv_row(csv_path, lbl, phrase, p.trc, p.read_id, b)
-                        results.append(ReadResult(lbl, phrase, p.read_id, p.trc, b, p.kmer, p.tail))
+                            writer.append_csv_row(csv_path, lbl, phrase, trc, rid, b)
+                        results.append(ReadResult(lbl, phrase, rid, trc, b, kmer, tail))
                         phrase_to_telo.setdefault(phrase, []).append(float(b))
-                        phrase_to_trc.setdefault(phrase, []).append(float(p.trc))
-                        unit_trcs.append(float(p.trc))
+                        phrase_to_trc.setdefault(phrase, []).append(float(trc))
+                        unit_trcs.append(float(trc))
                     n_rows = len(unit_rows)
                     if dist:
                         dist_mod.write_part(

@@ -131,10 +131,20 @@ class AotJit:
                 parts.append((tuple(shape), str(dtype)))
         statics = tuple(sorted(
             (k, repr(v)) for k, v in kwargs.items() if k in self._static))
-        dyn_kw = tuple(sorted(
-            (k, (tuple(getattr(v, "shape", ())), str(getattr(v, "dtype", ""))))
-            for k, v in kwargs.items() if k not in self._static))
-        return (tuple(parts), statics, dyn_kw)
+        dyn_kw = []
+        for k, v in sorted(kwargs.items()):
+            if k in self._static:
+                continue
+            shape = getattr(v, "shape", None)
+            dtype = getattr(v, "dtype", None)
+            if shape is None or dtype is None:
+                # Python scalars: same rule as positional args — an int
+                # and a float (or different values with distinct traced
+                # types) must not share one memoized executable
+                dyn_kw.append((k, ("scalar", repr(v))))
+            else:
+                dyn_kw.append((k, (tuple(shape), str(dtype))))
+        return (tuple(parts), statics, tuple(dyn_kw))
 
     def _dynamic_kwargs(self, kwargs):
         return {k: v for k, v in kwargs.items() if k not in self._static}
@@ -155,28 +165,48 @@ class AotJit:
             try:
                 with open(path, "rb") as fh:
                     payload, in_tree, out_tree, dev_ids = pickle.load(fh)
+            except Exception:
+                payload = None      # corrupt entry: recompile + overwrite
+            if payload is not None:
                 # deserialize against the executable's original device
                 # list: the default (every backend device) makes a
                 # 1-device program demand n-device-sharded args
-                by_id = {d.id: d for d in jax.devices()}
-                exec_devs = [by_id[i] for i in dev_ids]
-                return (
-                    deserialize_and_load(
-                        payload, in_tree, out_tree,
-                        execution_devices=exec_devs),
-                    "disk",
-                )
-            except Exception:
-                # stale/corrupt entry or changed topology: fall through
-                # to a fresh compile (which overwrites it)
-                pass
+                try:
+                    by_id = {d.id: d for d in jax.devices()}
+                    exec_devs = [by_id[i] for i in dev_ids]
+                    return (
+                        deserialize_and_load(
+                            payload, in_tree, out_tree,
+                            execution_devices=exec_devs),
+                        "disk",
+                    )
+                except Exception:
+                    pass
+                # second attempt with the library default (all backend
+                # devices) — covers executables whose assignment spans
+                # devices the recording process could not enumerate
+                try:
+                    return (
+                        deserialize_and_load(payload, in_tree, out_tree),
+                        "disk",
+                    )
+                except Exception:
+                    # changed topology / unloadable: fresh compile below
+                    pass
         compiled = lowered.compile()
         try:
             payload, in_tree, out_tree = serialize(compiled)
-            dev_ids = [
-                d.id
-                for d in compiled._executable.xla_executable.local_devices()
-            ]
+            local = compiled._executable.xla_executable.local_devices()
+            if (jax.process_count() > 1
+                    and len(local) == len(jax.local_devices())):
+                # multi-process GSPMD: the executable's assignment spans
+                # every process's devices (our global mesh is always all
+                # of jax.devices()), while local_devices() lists only
+                # the addressable subset — record the global list so any
+                # process can reconstruct the assignment
+                dev_ids = [d.id for d in jax.devices()]
+            else:
+                dev_ids = [d.id for d in local]
             os.makedirs(cdir, exist_ok=True)
             fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
             with os.fdopen(fd, "wb") as fh:
