@@ -45,6 +45,9 @@ class _Passer:
     trc: float
     tail_codes: np.ndarray       # step-2 scan slice (already oriented)
     seq_len: int
+    clean: bool = True           # tail is pure ACGT (lean wire eligible);
+                                 # precomputed so global mode's lockstep
+                                 # control word needs no batch assembly
 
 
 class JaxEngine:
@@ -614,16 +617,35 @@ class JaxEngine:
                     failed.add(file_idx)
                     self.log(f"ERROR: {e}; skipping this file")
 
-        # ---- step 1, lockstep global batches, depth-2 pipelined ----------
-        # While batch i executes on the mesh, every host builds batch
-        # i+1 and runs its (tiny) control-word allgather; batch i is
-        # synced only after i+1 has been dispatched — matching files
-        # mode's batches-in-flight shape (round-2 weakness: global mode
-        # was strictly one-batch-at-a-time).
+        # ---- unified lockstep scheduler (round 4) ------------------------
+        # Step-1 and step-2 global batches interleave in ONE loop.  Each
+        # iteration every process computes the same 5-bit OR-allgathered
+        # control word
+        #     [s1_has, s1_dense, s2_full, s2_live, s2_dense]
+        # and derives the same schedule:
+        #     s1_go = s1_has anywhere
+        #     s2_go = a full passer batch anywhere, OR (no step-1 data
+        #             anywhere AND passers/in-flight work somewhere —
+        #             the drain-out phase)
+        # so all processes launch the identical sequence of global
+        # programs (lockstep preserved).  s2_live includes "my step-1
+        # drain is still in flight", which closes the race where the
+        # last in-flight step-1 batch would yield passers after every
+        # process had already agreed to stop.  vs round 3's two
+        # sequential phases: boundary batches now run while step 1 is
+        # still scanning (stage overlap on the mesh) and the passers
+        # buffer stays bounded (~2 B_local + one parse block) instead
+        # of holding every passing tail of this process's file share.
+        # Subsets (which need a file's full hit set) are written after
+        # the loop; their failure still fails the unit.
         it = stream_blocks()
-        passers: List[Tuple[int, str, _Passer]] = []   # (file_idx, path, passer)
+        pbuf: List[Tuple[int, str, _Passer]] = []   # FIFO passers buffer
         exhausted = False
         cur = None      # partially consumed block: [meta..., ends, elen, pos]
+        hit_ids: Dict[int, set] = {}   # file_idx -> passing read ids
+        rows: Dict[int, tuple] = {}    # file_idx -> (label, rows, trcs, telos)
+        extras: Dict[int, list] = {}   # file_idx -> [(passer, bound), ...]
+        want_extras = cfg.plot or cfg.rawcountpattern
 
         def drain_step1(buf, fut):
             """buf rows are (file_idx, path, order, read_id, block,
@@ -637,19 +659,44 @@ class JaxEngine:
                 file_idx, path, order, rid, blk, bi = buf[i]
                 codes = blk.codes[blk.offs[bi]:blk.offs[bi + 1]]
                 tail = "forward" if fwd[i] else "reverse"
-                passers.append((file_idx, path, _Passer(
+                tail_codes = batching.extract_tail(
+                    codes, tail, cfg.trimfirst, cfg.maxlengthtelo
+                ).copy()    # .copy(): codes is a view into the block buffer
+                hit_ids.setdefault(file_idx, set()).add(rid)
+                pbuf.append((file_idx, path, _Passer(
                     order, rid, kmers[int(sel_j[i])], tail, float(trc[i]),
-                    # .copy(): codes is a view into the block buffer
-                    batching.extract_tail(codes, tail, cfg.trimfirst,
-                                          cfg.maxlengthtelo).copy(),
-                    len(codes),
+                    tail_codes, len(codes),
+                    clean=bool((tail_codes < 4).all()),
                 )))
 
-        prev1 = None    # (buf, in-flight device counts)
-        while True:
-            # assemble one global shard from block-granularity pieces:
-            # the ends rows were built vectorized at block parse time,
-            # so batch assembly is a couple of row-slab concatenates
+        def drain_step2(group, fut):
+            t, has = (np.asarray(x) for x in fut)
+            t_mine = gmodel.my_rows(t, B_local)
+            has_mine = gmodel.my_rows(has, B_local)
+            for j, (file_idx, path, p) in enumerate(group):
+                maxc = min(cfg.maxlengthtelo, p.seq_len)
+                b = int(cfg.trimfirst + cfg.slide_value() * int(t_mine[j])) \
+                    if has_mine[j] else 0
+                if b == 0 or b > maxc:
+                    b = 0
+                lbl = writer.file_label(path)
+                entry = rows.setdefault(file_idx, (lbl, [], [], []))
+                entry[1].append([lbl, phrase, f"{p.trc:.3f}", p.read_id, b])
+                entry[2].append(float(p.trc))      # full precision for quadfit
+                entry[3].append(float(b))
+                if want_extras:
+                    # extras re-batch per file after the loop, so their
+                    # tails stay resident; plain runs free them here
+                    extras.setdefault(file_idx, []).append((p, b))
+                else:
+                    p.tail_codes = None
+                timers.count(reads=1, bases=p.seq_len)
+
+        def assemble_step1():
+            """One global shard from block-granularity pieces: the ends
+            rows were built vectorized at block parse time, so batch
+            assembly is a couple of row-slab concatenates."""
+            nonlocal cur, exhausted
             buf = []
             pieces_e: List[np.ndarray] = []
             pieces_l: List[np.ndarray] = []
@@ -676,70 +723,9 @@ class JaxEngine:
             if n:
                 ends[:n] = np.concatenate(pieces_e, axis=0)
                 ends_len[:n] = np.concatenate(pieces_l)
-            clean = _batch_is_clean(
-                ends.reshape(B_local * 2, -1), np.repeat(ends_len, 2))
-            word = or_across_processes(np.array([n > 0, not clean]))
-            fut = None
-            if word[0]:
-                fut = gmodel.step1_counts_global_launch(
-                    ends, ends_len, dense=bool(word[1]))
-            if prev1 is not None:
-                drain_step1(*prev1)
-            if fut is None:
-                break
-            prev1 = (buf, fut)
+            return buf, ends, ends_len
 
-        # subset files (resume artifact) for this process's files
-        by_file: Dict[int, List[Tuple[str, _Passer]]] = {}
-        for file_idx, path, p in passers:
-            by_file.setdefault(file_idx, []).append((path, p))
-        for file_idx, path in local_files:
-            if file_idx in failed:
-                continue
-            entries = by_file.get(file_idx, [])
-            try:
-                self._write_subset(path, {p.read_id for _, p in entries})
-            except reader.InputFileError as e:
-                # the subset is the resume artifact: treat its failure
-                # like files mode does (unit stays un-done, rows dropped)
-                failed.add(file_idx)
-                self.log(f"ERROR: {e}; subset not written")
-
-        # failed files contribute no rows: their units stay un-done so a
-        # later --resume recomputes them in full (ADVICE r2: marking them
-        # done with 0 rows would permanently skip their reads)
-        if failed:
-            passers = [e for e in passers if e[0] not in failed]
-
-        # ---- step 2, lockstep global batches, depth-2 pipelined ----------
-        rows: Dict[int, tuple] = {}   # file_idx -> (label, rows, trcs, telos)
-        extras: Dict[int, list] = {}  # file_idx -> [(passer, bound), ...]
-        want_extras = cfg.plot or cfg.rawcountpattern
-
-        def drain_step2(group, fut):
-            t, has = (np.asarray(x) for x in fut)
-            t_mine = gmodel.my_rows(t, B_local)
-            has_mine = gmodel.my_rows(has, B_local)
-            for j, (file_idx, path, p) in enumerate(group):
-                maxc = min(cfg.maxlengthtelo, p.seq_len)
-                b = int(cfg.trimfirst + cfg.slide_value() * int(t_mine[j])) \
-                    if has_mine[j] else 0
-                if b == 0 or b > maxc:
-                    b = 0
-                lbl = writer.file_label(path)
-                entry = rows.setdefault(file_idx, (lbl, [], [], []))
-                entry[1].append([lbl, phrase, f"{p.trc:.3f}", p.read_id, b])
-                entry[2].append(float(p.trc))      # full precision for quadfit
-                entry[3].append(float(b))
-                if want_extras:
-                    extras.setdefault(file_idx, []).append((p, b))
-                timers.count(reads=1, bases=p.seq_len)
-
-        prev2 = None    # (group, in-flight device (t, has))
-        pos = 0
-        while True:
-            group = passers[pos : pos + B_local]
-            pos += len(group)
+        def launch_step2(group, dense):
             codes, lens = batching.tails_batch(
                 [p.tail_codes for _, _, p in group], L_static,
                 cfg.length_bucket_quantum)
@@ -756,23 +742,61 @@ class JaxEngine:
                     else np.zeros(B_local, np.int32)
             n_windows = batching.window_counts_for_lengths(
                 lens, cfg.window_size, cfg.slide_value())
-            clean = _batch_is_clean(codes, lens)
-            word = or_across_processes(np.array([len(group) > 0, not clean]))
-            fut = None
-            if word[0]:
-                fut = gmodel.step2_boundary_global_launch(
-                    codes, n_windows, lens, dense=bool(word[1]))
+            return gmodel.step2_boundary_global_launch(
+                codes, n_windows, lens, dense=dense)
+
+        prev1 = None    # (buf, in-flight device counts)
+        prev2 = None    # (group, in-flight device (t, has))
+        while True:
+            buf, ends, ends_len = assemble_step1()
+            n1 = len(buf)
+            s1_clean = _batch_is_clean(
+                ends.reshape(B_local * 2, -1), np.repeat(ends_len, 2))
+            group = pbuf[:B_local]
+            s2_clean = all(p.clean for _, _, p in group)
+            s2_live = bool(pbuf) or prev1 is not None or n1 > 0
+            word = or_across_processes(np.array([
+                n1 > 0, not s1_clean,
+                len(pbuf) >= B_local, s2_live, not s2_clean,
+            ]))
+            s1_go = bool(word[0])
+            s2_go = bool(word[2]) or (not s1_go and bool(word[3]))
+            fut1 = gmodel.step1_counts_global_launch(
+                ends, ends_len, dense=bool(word[1])) if s1_go else None
+            fut2 = None
+            if s2_go:
+                del pbuf[: len(group)]
+                fut2 = launch_step2(group, dense=bool(word[4]))
+            if prev1 is not None:
+                drain_step1(*prev1)
+            prev1 = (buf, fut1) if fut1 is not None else None
             if prev2 is not None:
                 drain_step2(*prev2)
-            if fut is None:
+            prev2 = (group, fut2) if fut2 is not None else None
+            if not s1_go and not s2_go and prev1 is None and prev2 is None:
                 break
-            prev2 = (group, fut)
+
+        # subset files (resume artifact) for this process's files
+        for file_idx, path in local_files:
+            if file_idx in failed:
+                continue
+            try:
+                self._write_subset(path, hit_ids.get(file_idx, set()))
+            except reader.InputFileError as e:
+                # the subset is the resume artifact: treat its failure
+                # like files mode does (unit stays un-done, rows dropped
+                # by the caller, which skips failed file idxs)
+                failed.add(file_idx)
+                self.log(f"ERROR: {e}; subset not written")
 
         # per-read extras on this process's own files: chunked like files
-        # mode (image numbers 1..n per file, row order)
+        # mode (image numbers 1..n per file, row order); failed files
+        # contribute nothing
         if want_extras:
             Bc = cfg.batch_size
             for file_idx in sorted(extras):
+                if file_idx in failed:
+                    continue
                 pairs = extras[file_idx]
                 image_num = 1
                 for s in range(0, len(pairs), Bc):
