@@ -558,10 +558,11 @@ class JaxEngine:
         a B_local shard of each global batch; GSPMD spreads the scan over
         ALL chips of all hosts; results come back replicated and each
         process keeps rows for reads it contributed.  Lockstep is held by
-        a per-batch OR-allgathered control word (has-data, needs-dense) —
-        hosts whose streams run dry keep feeding empty shards until every
-        stream is dry.  Per-read extras (--plot / --rawcountpattern) run
-        locally per owned file, numbered in row order like files mode.
+        a per-iteration OR-allgathered control word (see the unified
+        scheduler below) — hosts whose streams run dry keep feeding
+        empty shards until every stream and buffer is dry.  Per-read
+        extras (--plot / --rawcountpattern) run locally per owned file,
+        numbered in row order like files mode.
         Returns ({file_idx: (label, [row, ...], [trc, ...], [telo, ...])},
         failed_file_idxs) for this process; failed files (unreadable
         input, subset write error) carry no rows and must stay un-done so
