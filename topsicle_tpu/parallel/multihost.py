@@ -177,9 +177,10 @@ class GlobalScanModel:
 
 def or_across_processes(flags: np.ndarray) -> np.ndarray:
     """Element-wise OR of a small bool vector across all processes —
-    the lockstep control word for streaming global batches (bit 0:
-    someone still has data; bit 1: someone's batch needs the dense
-    wire format).  Host-level collective, one tiny allgather per batch."""
+    the lockstep control word for streaming global batches (bit
+    meanings are defined by the caller: see the unified scheduler in
+    pipeline._run_phrase_global).  Host-level collective, one tiny
+    allgather per iteration."""
     import jax
 
     flags = np.asarray(flags, dtype=np.bool_)

@@ -146,13 +146,17 @@ class JaxEngine:
         image / cache volume (`topsicle --precompile ...`): on
         deployments with slow remote compilation every later job
         process loads the serialized executables in under a second
-        (utils/aot_cache.py).  Caveat: with --scanLengthMode bucket,
-        only the base quantum length is warmed (bucketed runs compile
-        one program per observed length bucket).  No reference analog —
-        the reference has no compile step."""
+        (utils/aot_cache.py).  With --shardMode global the GSPMD
+        programs are warmed too — run precompile with the same
+        topology flags (--coordinator etc.) the jobs will use.
+        Caveat: with --scanLengthMode bucket, only the base quantum
+        length is warmed (bucketed runs compile one program per
+        observed length bucket).  No reference analog — the reference
+        has no compile step."""
         from topsicle_tpu.utils.aot_cache import cache_stats
 
         cfg = self.cfg
+        before = cache_stats()
         for phrase in cfg.telophrases():
             kmers = patterns_to_search(cfg.pattern, phrase)
             model = self._model(phrase, kmers)
@@ -190,9 +194,52 @@ class JaxEngine:
                     model.pack_scan_batch(tails, lens)))
                 np.asarray(model.rawcounts_launch_packed(
                     model.pack_scan_batch(dt, lens)))
+            if cfg.shard_mode == "global":
+                # the GSPMD global-batch programs are distinct from the
+                # single-chip/shard_map ones; warm them with the same
+                # topology the jobs will use (multi-process pods run
+                # --precompile on every process simultaneously, like
+                # the jobs themselves)
+                import jax
+
+                from topsicle_tpu.models.telomere import TelomereScanModel
+                from topsicle_tpu.parallel.multihost import GlobalScanModel
+
+                n_local = len(jax.local_devices())
+                Bg = cfg.batch_size
+                if Bg % n_local:
+                    Bg += n_local - Bg % n_local
+                gm = GlobalScanModel(TelomereScanModel(
+                    kmers, window_size=cfg.window_size,
+                    slide=cfg.slide_value()))
+                ge = np.zeros((Bg, 2, cfg.no_bp), np.uint8)
+                gel = np.full(Bg, cfg.no_bp, np.int32)
+                np.asarray(gm.step1_counts_global_launch(ge, gel, dense=False))
+                gdirty = ge.copy()
+                gdirty[0, 0, 0] = 0xFF
+                np.asarray(gm.step1_counts_global_launch(gdirty, gel, dense=True))
+                Lg = cfg.static_scan_length()
+                if Lg is None:       # same fallback as _run_phrase_global
+                    q = cfg.length_bucket_quantum
+                    span = max(1, cfg.maxlengthtelo - cfg.trimfirst)
+                    Lg = max(q, -(-span // q) * q)
+                gt = np.zeros((Bg, Lg), np.uint8)
+                gl = np.full(Bg, Lg, np.int32)
+                gnw = batching.window_counts_for_lengths(
+                    gl, cfg.window_size, cfg.slide_value())
+                for x in gm.step2_boundary_global_launch(gt, gnw, gl,
+                                                         dense=False):
+                    np.asarray(x)
+                gt2 = gt.copy()
+                gt2[0, 0] = 0xFF
+                for x in gm.step2_boundary_global_launch(gt2, gnw, gl,
+                                                         dense=True):
+                    np.asarray(x)
             self.log(f"precompile: k={phrase} programs ready")
         st = cache_stats()
-        return st["disk"] + st["compile"]
+        # delta: cache_stats is process-wide and other programs may
+        # already be tallied in long-lived processes
+        return (st["disk"] + st["compile"]) - (before["disk"] + before["compile"])
 
     # -- step 1 ------------------------------------------------------------
     def _select_hits(self, counts: np.ndarray, cutoff: float
@@ -629,10 +676,12 @@ class JaxEngine:
         #             anywhere AND passers/in-flight work somewhere —
         #             the drain-out phase)
         # so all processes launch the identical sequence of global
-        # programs (lockstep preserved).  s2_live includes "my step-1
-        # drain is still in flight", which closes the race where the
-        # last in-flight step-1 batch would yield passers after every
-        # process had already agreed to stop.  vs round 3's two
+        # programs (lockstep preserved).  When a process's stream dries
+        # it drains its last in-flight step-1 batch BEFORE computing
+        # the word (there is no host parse work left to overlap), so
+        # s2_live is exact: the final batch's passers cannot be
+        # stranded past an agreed stop, and a zero-hit phrase never
+        # launches an all-pad step-2 program.  vs round 3's two
         # sequential phases: boundary batches now run while step 1 is
         # still scanning (stage overlap on the mesh) and the passers
         # buffer stays bounded (~2 B_local + one parse block) instead
@@ -670,6 +719,31 @@ class JaxEngine:
                     clean=bool((tail_codes < 4).all()),
                 )))
 
+        extras_done: Dict[int, int] = {}   # file_idx -> next image number
+
+        def flush_extras(f):
+            """Per-read extras for file f, chunked like files mode
+            (image numbers 1..n in row order); flushing as soon as a
+            file completes keeps its tails from staying resident for
+            the whole phrase.  Failed files write nothing."""
+            pairs = extras.pop(f, [])
+            if not pairs:
+                return
+            if f in failed:
+                for p, _ in pairs:
+                    p.tail_codes = None
+                return
+            Bc = cfg.batch_size
+            image_num = extras_done.get(f, 1)
+            for s in range(0, len(pairs), Bc):
+                chunk = pairs[s:s + Bc]
+                self._per_read_extras([p for p, _ in chunk], base, phrase,
+                                      [b for _, b in chunk], image_num)
+                image_num += len(chunk)
+            extras_done[f] = image_num
+            for p, _ in pairs:
+                p.tail_codes = None
+
         def drain_step2(group, fut):
             t, has = (np.asarray(x) for x in fut)
             t_mine = gmodel.my_rows(t, B_local)
@@ -686,12 +760,16 @@ class JaxEngine:
                 entry[2].append(float(p.trc))      # full precision for quadfit
                 entry[3].append(float(b))
                 if want_extras:
-                    # extras re-batch per file after the loop, so their
-                    # tails stay resident; plain runs free them here
                     extras.setdefault(file_idx, []).append((p, b))
                 else:
                     p.tail_codes = None
                 timers.count(reads=1, bases=p.seq_len)
+            if want_extras and group:
+                # passers drain in stream order, so any file below the
+                # newest one seen is complete — flush its extras now
+                maxf = max(fi for fi, _, _ in group)
+                for f in [f for f in list(extras) if f < maxf]:
+                    flush_extras(f)
 
         def assemble_step1():
             """One global shard from block-granularity pieces: the ends
@@ -751,14 +829,22 @@ class JaxEngine:
         while True:
             buf, ends, ends_len = assemble_step1()
             n1 = len(buf)
+            if n1 == 0 and prev1 is not None:
+                # my stream just dried: there is no step-1 host work
+                # left to overlap, so drain the in-flight batch BEFORE
+                # the control word — s2_live then reflects the true
+                # buffer and a zero-hit phrase never launches an
+                # all-pad step-2 program (and the last batch's passers
+                # cannot be stranded past the agreed stop)
+                drain_step1(*prev1)
+                prev1 = None
             s1_clean = _batch_is_clean(
                 ends.reshape(B_local * 2, -1), np.repeat(ends_len, 2))
             group = pbuf[:B_local]
             s2_clean = all(p.clean for _, _, p in group)
-            s2_live = bool(pbuf) or prev1 is not None or n1 > 0
             word = or_across_processes(np.array([
                 n1 > 0, not s1_clean,
-                len(pbuf) >= B_local, s2_live, not s2_clean,
+                len(pbuf) >= B_local, bool(pbuf), not s2_clean,
             ]))
             s1_go = bool(word[0])
             s2_go = bool(word[2]) or (not s1_go and bool(word[3]))
@@ -777,6 +863,14 @@ class JaxEngine:
             if not s1_go and not s2_go and prev1 is None and prev2 is None:
                 break
 
+        # flush extras of the final files (everything earlier flushed
+        # inline as files completed); failed files write nothing.  This
+        # runs BEFORE the subset writes so a subset failure can still
+        # remove the unit's flushed extras.
+        if want_extras:
+            for file_idx in sorted(list(extras)):
+                flush_extras(file_idx)
+
         # subset files (resume artifact) for this process's files
         for file_idx, path in local_files:
             if file_idx in failed:
@@ -786,26 +880,11 @@ class JaxEngine:
             except reader.InputFileError as e:
                 # the subset is the resume artifact: treat its failure
                 # like files mode does (unit stays un-done, rows dropped
-                # by the caller, which skips failed file idxs)
+                # by the caller, which skips failed file idxs); extras
+                # the unit already flushed are removed
                 failed.add(file_idx)
                 self.log(f"ERROR: {e}; subset not written")
-
-        # per-read extras on this process's own files: chunked like files
-        # mode (image numbers 1..n per file, row order); failed files
-        # contribute nothing
-        if want_extras:
-            Bc = cfg.batch_size
-            for file_idx in sorted(extras):
-                if file_idx in failed:
-                    continue
-                pairs = extras[file_idx]
-                image_num = 1
-                for s in range(0, len(pairs), Bc):
-                    chunk = pairs[s : s + Bc]
-                    self._per_read_extras(
-                        [p for p, _ in chunk], base, phrase,
-                        [b for _, b in chunk], image_num)
-                    image_num += len(chunk)
+                self._remove_unit_extras(phrase, extras_done.get(file_idx, 1))
         return rows, failed
 
     def _emit_kept_unit(self, csv_path: str, lbl: str, phrase: int, path: str,
