@@ -1,0 +1,92 @@
+"""Encoded-block cache (io/blockcache.py): multi-telophrase runs parse
+each input once and replay identical blocks for later phrases."""
+
+import os
+
+import numpy as np
+import pytest
+
+from topsicle_tpu.config import TopsicleConfig
+from topsicle_tpu.io import blockcache
+from topsicle_tpu.io.writer import RunLog
+from topsicle_tpu.pipeline import JaxEngine
+
+
+def _input(tmp_path, n=3):
+    rng = np.random.default_rng(21)
+    p = tmp_path / "in"
+    p.mkdir(exist_ok=True)
+    f = p / "reads.fastq"
+    with open(f, "w") as fh:
+        for i in range(n):
+            seq = ("CCCTAA" * 300)[:1400] + "".join(rng.choice(list("ACGT"), 9300))
+            fh.write(f"@r{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+    return p, f
+
+
+def test_roundtrip_and_invalidation(tmp_path):
+    _, f = _input(tmp_path)
+    out = str(tmp_path / "o")
+    w = blockcache.BlockCacheWriter(out, str(f), 9000, 8, 10 << 20)
+    blocks = [(["a", "b"], np.arange(20, dtype=np.uint8),
+               np.array([0, 8, 20], np.int64)),
+              (["c"], np.arange(5, dtype=np.uint8), np.array([0, 5], np.int64))]
+    for ids, codes, offs in blocks:
+        assert w.add(ids, codes, offs)
+    assert w.commit() > 0
+    got = list(blockcache.open_cached_blocks(out, str(f), 9000, 8))
+    assert len(got) == 2
+    for (wi, wc, wo), (gi, gc, go) in zip(blocks, got):
+        assert gi == wi
+        np.testing.assert_array_equal(gc, wc)
+        np.testing.assert_array_equal(go, wo)
+    # different parameters or a touched input invalidate
+    assert blockcache.open_cached_blocks(out, str(f), 9001, 8) is None
+    assert blockcache.open_cached_blocks(out, str(f), 9000, 16) is None
+    os.utime(f, ns=(1, 1))
+    assert blockcache.open_cached_blocks(out, str(f), 9000, 8) is None
+
+
+def test_budget_abandons_cleanly(tmp_path):
+    _, f = _input(tmp_path)
+    out = str(tmp_path / "o")
+    w = blockcache.BlockCacheWriter(out, str(f), 9000, 8, budget_left=10)
+    assert not w.add(["a"], np.arange(999, dtype=np.uint8),
+                     np.array([0, 999], np.int64))
+    assert w.commit() == 0
+    assert blockcache.open_cached_blocks(out, str(f), 9000, 8) is None
+    assert not [x for x in os.listdir(blockcache.cache_dir(out))] \
+        if os.path.isdir(blockcache.cache_dir(out)) else True
+
+
+def test_multik_parses_once_and_matches_uncached(tmp_path, monkeypatch):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    indir, _ = _input(tmp_path)
+
+    calls = {"n": 0}
+    real = JaxEngine._parse_blocks
+
+    def counting(self, path):
+        calls["n"] += 1
+        return real(self, path)
+
+    monkeypatch.setattr(JaxEngine, "_parse_blocks", counting)
+
+    def run(outdir, cache_mb):
+        monkeypatch.setenv("TOPSICLE_BLOCK_CACHE_MB", cache_mb)
+        calls["n"] = 0
+        cfg = TopsicleConfig(
+            input_dir=str(indir), output_dir=str(tmp_path / outdir),
+            pattern="CCCTAA", telophrase=[4, 5], batch_size=8,
+            maxlengthtelo=2048)
+        JaxEngine(cfg, log=RunLog(None, echo=False)).run()
+        return calls["n"], (tmp_path / outdir / "telolengths_all.csv").read_bytes()
+
+    n_cached, csv_cached = run("oc", "64")
+    n_plain, csv_plain = run("op", "0")
+    assert csv_cached == csv_plain           # byte-identical outputs
+    assert n_plain == 2                      # one parse per phrase
+    assert n_cached == 1                     # phrase 2 replayed the cache
+    assert not os.path.isdir(blockcache.cache_dir(str(tmp_path / "oc")))

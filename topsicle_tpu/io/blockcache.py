@@ -1,0 +1,176 @@
+"""Encoded-block disk cache for multi-telophrase runs.
+
+The reference re-reads every input file once per telophrase (its outer
+loop at main.py:206 re-runs the whole per-file pipeline per k), and so
+does this engine's streaming path — parse + gzip inflate + encode is
+the dominant host cost, so a 3-k sweep pays it three times.  This
+cache stores each file's eligible reads in engine-native form (ids +
+flat uint8 base codes + offsets, exactly one Block per device batch)
+during the FIRST phrase's parse and replays them for later phrases:
+~10x faster than re-inflating and re-parsing, with identical blocks by
+construction.
+
+Layout: one stream file per input, `<outputDir>/.blockcache/<key>.blk`,
+where key = sha1(absolute path).  The stream is a header record
+(cache-format version, input mtime/size, min_seq_length, batch size)
+followed by one pickled (ids, codes_bytes, offs) record per block;
+a partial write is never visible (tmp + atomic rename at the end of a
+complete, successful parse).  A total-size cap bounds disk use
+(TOPSICLE_BLOCK_CACHE_MB, default 4096; 0 disables caching): when a
+run's caches would exceed it, later files simply parse again.
+
+Correctness keys: input (mtime, size) — an edited input invalidates —
+plus min_seq_length and the block batch size, which shape the blocks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from typing import Iterator, Optional
+
+import numpy as np
+
+_VERSION = 1
+
+
+def cache_budget_bytes() -> int:
+    try:
+        mb = float(os.environ.get("TOPSICLE_BLOCK_CACHE_MB", "4096"))
+    except ValueError:
+        mb = 4096.0
+    return int(mb * 1e6)
+
+
+def cache_dir(output_dir: str) -> str:
+    return os.path.join(output_dir, ".blockcache")
+
+
+def _entry_path(output_dir: str, input_path: str) -> str:
+    key = hashlib.sha1(os.path.abspath(input_path).encode()).hexdigest()[:24]
+    return os.path.join(cache_dir(output_dir), f"{key}.blk")
+
+
+def _header(input_path: str, min_len: int, batch_reads: int) -> dict:
+    st = os.stat(input_path)
+    return {
+        "version": _VERSION,
+        "mtime_ns": st.st_mtime_ns,
+        "size": st.st_size,
+        "min_len": min_len,
+        "batch_reads": batch_reads,
+    }
+
+
+class BlockCacheWriter:
+    """Accumulates one file's parsed blocks; `commit()` makes the cache
+    visible atomically.  `abandon()` (or an uncommitted close, e.g. a
+    parse error) leaves nothing behind.  Returns False from `add` when
+    the budget is exhausted — the caller keeps parsing, the cache is
+    just dropped."""
+
+    def __init__(self, output_dir: str, input_path: str, min_len: int,
+                 batch_reads: int, budget_left: int):
+        self._final = _entry_path(output_dir, input_path)
+        self._tmp = self._final + ".tmp"
+        self._budget = budget_left
+        self._written = 0
+        self._fh = None
+        try:
+            os.makedirs(cache_dir(output_dir), exist_ok=True)
+            self._fh = open(self._tmp, "wb")
+            pickle.dump(_header(input_path, min_len, batch_reads), self._fh)
+        except OSError:
+            self.abandon()
+
+    @property
+    def active(self) -> bool:
+        return self._fh is not None
+
+    def add(self, ids, codes: np.ndarray, offs: np.ndarray) -> bool:
+        if self._fh is None:
+            return False
+        blob = pickle.dumps(
+            (list(ids), codes.tobytes(), np.asarray(offs, np.int64).tobytes()),
+            protocol=pickle.HIGHEST_PROTOCOL)
+        self._written += len(blob)
+        if self._written > self._budget:
+            self.abandon()
+            return False
+        try:
+            self._fh.write(blob)
+        except OSError:
+            self.abandon()
+            return False
+        return True
+
+    def commit(self) -> int:
+        """Atomically publish; returns bytes consumed (0 if abandoned)."""
+        if self._fh is None:
+            return 0
+        try:
+            self._fh.close()
+            os.replace(self._tmp, self._final)
+            return self._written
+        except OSError:
+            self.abandon()
+            return 0
+        finally:
+            self._fh = None
+
+    def abandon(self) -> None:
+        if self._fh is not None:
+            try:
+                self._fh.close()
+            except OSError:
+                pass
+            self._fh = None
+        try:
+            if os.path.exists(self._tmp):
+                os.remove(self._tmp)
+        except OSError:
+            pass
+
+
+def open_cached_blocks(output_dir: str, input_path: str, min_len: int,
+                       batch_reads: int) -> Optional[Iterator]:
+    """Iterator of (ids, codes, offs) tuples when a valid cache entry
+    exists for this input + parameters, else None."""
+    path = _entry_path(output_dir, input_path)
+    try:
+        fh = open(path, "rb")
+    except OSError:
+        return None
+    try:
+        hdr = pickle.load(fh)
+        if hdr != _header(input_path, min_len, batch_reads):
+            fh.close()
+            return None
+    except Exception:
+        fh.close()
+        return None
+
+    def gen():
+        with fh:
+            while True:
+                try:
+                    ids, codes_b, offs_b = pickle.load(fh)
+                except EOFError:
+                    return
+                yield (ids, np.frombuffer(codes_b, np.uint8),
+                       np.frombuffer(offs_b, np.int64))
+    return gen()
+
+
+def clear(output_dir: str) -> None:
+    d = cache_dir(output_dir)
+    try:
+        for f in os.listdir(d):
+            try:
+                os.remove(os.path.join(d, f))
+            except OSError:
+                pass
+        os.rmdir(d)
+    except OSError:
+        pass

@@ -56,10 +56,20 @@ class JaxEngine:
     visible."""
 
     def __init__(self, cfg: TopsicleConfig, log: Optional[writer.RunLog] = None):
+        import threading
+
+        from topsicle_tpu.io import blockcache
+
         cfg.validate()
         self.cfg = cfg
         self.log = log or writer.RunLog(cfg.output_dir if cfg.output_dir else None, echo=False)
         self._models: Dict[int, object] = {}
+        # Encoded-block cache: multi-telophrase runs parse each input
+        # once and replay engine-native blocks for later phrases
+        # (io/blockcache.py; the reference re-reads per k, main.py:206)
+        self._bc_lock = threading.Lock()
+        self._bc_left = blockcache.cache_budget_bytes() \
+            if len(cfg.telophrases()) > 1 else 0
 
     # -- model cache -------------------------------------------------------
     def _model(self, phrase: int, kmers: Sequence[str]):
@@ -274,7 +284,46 @@ class JaxEngine:
         return ok
 
     def _iter_blocks(self, path: str):
-        """Blocks of up to batch_size eligible reads (len >
+        """Blocks of up to batch_size eligible reads, with the
+        encoded-block cache wrapped around the raw parse: a
+        multi-phrase run's later phrases replay the first parse's
+        blocks from disk (~10x faster than re-inflating), and the
+        cache entry only becomes visible after a COMPLETE successful
+        parse (a failed file caches nothing)."""
+        from topsicle_tpu.io import blockcache
+        from topsicle_tpu.native.loader import Block
+
+        cfg = self.cfg
+        if self._bc_left > 0:
+            cached = blockcache.open_cached_blocks(
+                cfg.output_dir, path, cfg.min_seq_length, cfg.batch_size)
+            if cached is not None:
+                for ids, codes, offs in cached:
+                    yield Block(ids, codes, offs)
+                return
+            with self._bc_lock:
+                left = self._bc_left
+            bc = blockcache.BlockCacheWriter(
+                cfg.output_dir, path, cfg.min_seq_length, cfg.batch_size,
+                left)
+        else:
+            bc = None
+        try:
+            for blk in self._parse_blocks(path):
+                if bc is not None and bc.active:
+                    bc.add(blk.ids, blk.codes, blk.offs)
+                yield blk
+            if bc is not None:
+                used = bc.commit()
+                with self._bc_lock:
+                    self._bc_left -= used
+                bc = None
+        finally:
+            if bc is not None:   # error or abandoned generator
+                bc.abandon()
+
+    def _parse_blocks(self, path: str):
+        """Raw parse: blocks of up to batch_size eligible reads (len >
         minSeqLength) — one flat code array + offsets per block, via the
         C++ loader when available (gzip inflate + parse + encode in one
         native pass), else the pure-Python reader.  Block granularity
@@ -1187,6 +1236,13 @@ class JaxEngine:
                     for s_ in sources.values():
                         s_.close()
                 self.log("finished processing all reads")
+        if self._bc_left > 0 or len(cfg.telophrases()) > 1:
+            from topsicle_tpu.io import blockcache
+
+            if not dist:
+                blockcache.clear(cfg.output_dir)
+            # dist: process 0 clears after the merge barrier below —
+            # clearing early would break slower processes' later phrases
         self.log(timers.summary())
         from topsicle_tpu.utils.aot_cache import aot_enabled, cache_stats
 
@@ -1206,6 +1262,10 @@ class JaxEngine:
                 cfg.output_dir, csv_path, run_parts
             )
             dist_mod.cleanup_parts(cfg.output_dir)
+            if len(cfg.telophrases()) > 1:
+                from topsicle_tpu.io import blockcache
+
+                blockcache.clear(cfg.output_dir)
 
         # The reference always saves the quadfit plot when >=3 points
         # (main.py:270-273) — not gated on --plot.
