@@ -24,10 +24,26 @@ def _input(tmp_path, n=3):
     return p, f
 
 
+def _mk_budget(n):
+    state = {"left": n}
+
+    def reserve(k):
+        if state["left"] >= k:
+            state["left"] -= k
+            return True
+        return False
+
+    def refund(k):
+        state["left"] += k
+
+    return reserve, refund, state
+
+
 def test_roundtrip_and_invalidation(tmp_path):
     _, f = _input(tmp_path)
     out = str(tmp_path / "o")
-    w = blockcache.BlockCacheWriter(out, str(f), 9000, 8, 10 << 20)
+    reserve, refund, _ = _mk_budget(10 << 20)
+    w = blockcache.BlockCacheWriter(out, str(f), 9000, 8, reserve, refund)
     blocks = [(["a", "b"], np.arange(20, dtype=np.uint8),
                np.array([0, 8, 20], np.int64)),
               (["c"], np.arange(5, dtype=np.uint8), np.array([0, 5], np.int64))]
@@ -47,16 +63,50 @@ def test_roundtrip_and_invalidation(tmp_path):
     assert blockcache.open_cached_blocks(out, str(f), 9000, 8) is None
 
 
-def test_budget_abandons_cleanly(tmp_path):
+def test_budget_abandons_cleanly_and_refunds(tmp_path):
     _, f = _input(tmp_path)
     out = str(tmp_path / "o")
-    w = blockcache.BlockCacheWriter(out, str(f), 9000, 8, budget_left=10)
+    reserve, refund, state = _mk_budget(10)
+    w = blockcache.BlockCacheWriter(out, str(f), 9000, 8, reserve, refund)
     assert not w.add(["a"], np.arange(999, dtype=np.uint8),
                      np.array([0, 999], np.int64))
+    assert w.exhausted
     assert w.commit() == 0
+    assert state["left"] == 10                     # reservation refunded
     assert blockcache.open_cached_blocks(out, str(f), 9000, 8) is None
-    assert not [x for x in os.listdir(blockcache.cache_dir(out))] \
-        if os.path.isdir(blockcache.cache_dir(out)) else True
+    if os.path.isdir(blockcache.cache_dir(out)):
+        assert not os.listdir(blockcache.cache_dir(out))
+
+
+def test_corrupt_replay_drops_entry_then_reparses(tmp_path, monkeypatch):
+    """A cache entry corrupted after commit surfaces as InputFileError
+    (loud unit failure, like any unreadable input), the entry is
+    dropped, and the next iteration re-parses the real input."""
+    import pickle
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    indir, f = _input(tmp_path)
+    monkeypatch.setenv("TOPSICLE_BLOCK_CACHE_MB", "64")
+    out = tmp_path / "oc"
+    cfg = TopsicleConfig(
+        input_dir=str(indir), output_dir=str(out), pattern="CCCTAA",
+        telophrase=[4, 5], batch_size=8, maxlengthtelo=2048)
+    eng = JaxEngine(cfg, log=RunLog(None, echo=False))
+    entry = blockcache._entry_path(str(out), str(f))
+    os.makedirs(os.path.dirname(entry), exist_ok=True)
+    with open(entry, "wb") as fh:
+        pickle.dump(blockcache._header(str(f), 9000, 8), fh)
+        fh.write(b"\x80garbage-not-a-pickle")
+
+    from topsicle_tpu.io import reader
+
+    with pytest.raises(reader.InputFileError):
+        list(eng._iter_blocks(str(f)))
+    assert not os.path.exists(entry)              # entry dropped
+    blocks = list(eng._iter_blocks(str(f)))       # re-parses fine
+    assert sum(len(b) for b in blocks) == 3
 
 
 def test_multik_parses_once_and_matches_uncached(tmp_path, monkeypatch):

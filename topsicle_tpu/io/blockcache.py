@@ -66,17 +66,24 @@ def _header(input_path: str, min_len: int, batch_reads: int) -> dict:
 class BlockCacheWriter:
     """Accumulates one file's parsed blocks; `commit()` makes the cache
     visible atomically.  `abandon()` (or an uncommitted close, e.g. a
-    parse error) leaves nothing behind.  Returns False from `add` when
-    the budget is exhausted — the caller keeps parsing, the cache is
-    just dropped."""
+    parse error) leaves nothing behind and refunds the reservation.
+
+    Budget is RESERVED incrementally through the caller-supplied
+    `reserve(nbytes) -> bool` / `refund(nbytes)` callbacks (atomic in
+    the engine), so concurrent writers — the cross-file read-ahead pool
+    runs one per file — can never jointly overshoot the configured cap.
+    `add` returns False once a reservation is refused; the caller keeps
+    parsing, the cache is just dropped."""
 
     def __init__(self, output_dir: str, input_path: str, min_len: int,
-                 batch_reads: int, budget_left: int):
+                 batch_reads: int, reserve, refund):
         self._final = _entry_path(output_dir, input_path)
         self._tmp = self._final + ".tmp"
-        self._budget = budget_left
-        self._written = 0
+        self._reserve = reserve
+        self._refund = refund
+        self._reserved = 0
         self._fh = None
+        self.exhausted = False    # abandoned because the budget ran out
         try:
             os.makedirs(cache_dir(output_dir), exist_ok=True)
             self._fh = open(self._tmp, "wb")
@@ -94,10 +101,11 @@ class BlockCacheWriter:
         blob = pickle.dumps(
             (list(ids), codes.tobytes(), np.asarray(offs, np.int64).tobytes()),
             protocol=pickle.HIGHEST_PROTOCOL)
-        self._written += len(blob)
-        if self._written > self._budget:
+        if not self._reserve(len(blob)):
+            self.exhausted = True
             self.abandon()
             return False
+        self._reserved += len(blob)
         try:
             self._fh.write(blob)
         except OSError:
@@ -106,13 +114,16 @@ class BlockCacheWriter:
         return True
 
     def commit(self) -> int:
-        """Atomically publish; returns bytes consumed (0 if abandoned)."""
+        """Atomically publish; returns bytes consumed (0 if abandoned;
+        the reservation is kept on success, refunded on failure)."""
         if self._fh is None:
             return 0
         try:
             self._fh.close()
             os.replace(self._tmp, self._final)
-            return self._written
+            n = self._reserved
+            self._reserved = 0
+            return n
         except OSError:
             self.abandon()
             return 0
@@ -126,6 +137,9 @@ class BlockCacheWriter:
             except OSError:
                 pass
             self._fh = None
+        if self._reserved:
+            self._refund(self._reserved)
+            self._reserved = 0
         try:
             if os.path.exists(self._tmp):
                 os.remove(self._tmp)
@@ -161,6 +175,15 @@ def open_cached_blocks(output_dir: str, input_path: str, min_len: int,
                 yield (ids, np.frombuffer(codes_b, np.uint8),
                        np.frombuffer(offs_b, np.int64))
     return gen()
+
+
+def drop_entry(output_dir: str, input_path: str) -> None:
+    """Remove one cache entry (used when a replay fails mid-stream so
+    the retry re-parses the input instead of re-hitting the corruption)."""
+    try:
+        os.remove(_entry_path(output_dir, input_path))
+    except OSError:
+        pass
 
 
 def clear(output_dir: str) -> None:

@@ -174,7 +174,10 @@ def binseg_l2_device(y_int, num_windows, jump: int = 5, min_size: int = 2):
     # 0.46 vs 0.43-0.46 ms/iter same-session on the full fused chain —
     # no win: inside one jitted program the levels are data
     # dependencies, not kernel launches, so halving the depth buys
-    # nothing (2026-08-21 A/B).
+    # nothing (2026-08-21 A/B).  Transposing the tournament to [m, B]
+    # (batch = exactly the 128 lanes on minor) also measured flat-to-
+    # worse (0.458-0.472 vs 0.431-0.458 same-session) — the row-major
+    # form stays.
     while D.shape[1] > 1:
         h = D.shape[1] // 2
         sq, D, tt, valid = _pick(

@@ -68,8 +68,24 @@ class JaxEngine:
         # once and replay engine-native blocks for later phrases
         # (io/blockcache.py; the reference re-reads per k, main.py:206)
         self._bc_lock = threading.Lock()
-        self._bc_left = blockcache.cache_budget_bytes() \
-            if len(cfg.telophrases()) > 1 else 0
+        self._bc_enabled = (len(cfg.telophrases()) > 1
+                            and blockcache.cache_budget_bytes() > 0)
+        self._bc_left = blockcache.cache_budget_bytes() if self._bc_enabled else 0
+        self._bc_write = self._bc_enabled   # run() clears this for the
+                                            # final phrase (nothing would
+                                            # ever read those entries)
+        self._bc_skip: set = set()          # files that exhausted the budget
+
+    def _bc_reserve(self, n: int) -> bool:
+        with self._bc_lock:
+            if self._bc_left >= n:
+                self._bc_left -= n
+                return True
+            return False
+
+    def _bc_refund(self, n: int) -> None:
+        with self._bc_lock:
+            self._bc_left += n
 
     # -- model cache -------------------------------------------------------
     def _model(self, phrase: int, kmers: Sequence[str]):
@@ -294,29 +310,35 @@ class JaxEngine:
         from topsicle_tpu.native.loader import Block
 
         cfg = self.cfg
-        if self._bc_left > 0:
+        if self._bc_enabled:
             cached = blockcache.open_cached_blocks(
                 cfg.output_dir, path, cfg.min_seq_length, cfg.batch_size)
             if cached is not None:
-                for ids, codes, offs in cached:
-                    yield Block(ids, codes, offs)
-                return
-            with self._bc_lock:
-                left = self._bc_left
+                try:
+                    for ids, codes, offs in cached:
+                        yield Block(ids, codes, offs)
+                    return
+                except Exception as e:
+                    # an entry corrupted after commit must not kill the
+                    # run NOR poison the retry: drop it, fail the unit
+                    # like any unreadable input (resume re-parses fresh)
+                    blockcache.drop_entry(cfg.output_dir, path)
+                    raise reader.InputFileError(path, e) from e
+        bc = None
+        if self._bc_write and path not in self._bc_skip:
             bc = blockcache.BlockCacheWriter(
                 cfg.output_dir, path, cfg.min_seq_length, cfg.batch_size,
-                left)
-        else:
-            bc = None
+                self._bc_reserve, self._bc_refund)
         try:
             for blk in self._parse_blocks(path):
                 if bc is not None and bc.active:
                     bc.add(blk.ids, blk.codes, blk.offs)
                 yield blk
             if bc is not None:
-                used = bc.commit()
-                with self._bc_lock:
-                    self._bc_left -= used
+                if bc.commit() == 0:
+                    # budget exhausted (or IO failure): do not retry
+                    # this file's cache in later phrases
+                    self._bc_skip.add(path)
                 bc = None
         finally:
             if bc is not None:   # error or abandoned generator
@@ -1058,8 +1080,18 @@ class JaxEngine:
         all_files = list(enumerate(cfg.input_paths()))
         local_files = [(i, f) for i, f in all_files if not dist or i % nproc == pid]
 
+        if self._bc_enabled and not cfg.resume:
+            # fresh runs never replay a previous run's cache; also
+            # cleans stale entries a crashed run may have left behind
+            from topsicle_tpu.io import blockcache as _bc
+
+            _bc.clear(cfg.output_dir)
+        phrases_all = cfg.telophrases()
         with trace_context(cfg.trace_dir):
-            for phrase in cfg.telophrases():
+            for phrase in phrases_all:
+                # the final phrase's parse output would never be read:
+                # skip the cache writes (replay still applies)
+                self._bc_write = self._bc_enabled and phrase != phrases_all[-1]
                 kmers = patterns_to_search(cfg.pattern, phrase)
                 self.log("patterns to search:", kmers)
                 if cfg.shard_mode == "global":
@@ -1236,13 +1268,12 @@ class JaxEngine:
                     for s_ in sources.values():
                         s_.close()
                 self.log("finished processing all reads")
-        if self._bc_left > 0 or len(cfg.telophrases()) > 1:
+        if self._bc_enabled and not dist:
+            # dist: process 0 clears after the merge barrier instead —
+            # clearing early would break slower processes' later phrases
             from topsicle_tpu.io import blockcache
 
-            if not dist:
-                blockcache.clear(cfg.output_dir)
-            # dist: process 0 clears after the merge barrier below —
-            # clearing early would break slower processes' later phrases
+            blockcache.clear(cfg.output_dir)
         self.log(timers.summary())
         from topsicle_tpu.utils.aot_cache import aot_enabled, cache_stats
 
@@ -1262,7 +1293,7 @@ class JaxEngine:
                 cfg.output_dir, csv_path, run_parts
             )
             dist_mod.cleanup_parts(cfg.output_dir)
-            if len(cfg.telophrases()) > 1:
+            if self._bc_enabled:
                 from topsicle_tpu.io import blockcache
 
                 blockcache.clear(cfg.output_dir)
