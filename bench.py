@@ -395,6 +395,12 @@ def main():
             "startup_s": resident["startup_s"],
             "strategy": f"{model.window_strategy}/{model.greedy_strategy}",
         }
+        # draw-record fields (VERDICT r3 item 7): which binary ran and
+        # the history range, so a bad draw never reads as a regression
+        for k_ in ("aot_source", "ms_per_iter_best_draw",
+                   "ms_per_iter_worst_draw", "n_draws"):
+            if k_ in resident:
+                out[k_] = resident[k_]
     elif xfer_mbps is not None:
         out = {
             "metric": "device_scan_throughput",
