@@ -1,18 +1,21 @@
 """The TPU engine: streaming host pipeline + batched device programs.
 
 Orchestration parity with the reference (main.py:52-154,156-309) but
-batched and device-resident:
+batched, device-resident, and fully streamed (round 4):
 
-  stream records ──► eligible reads buffered as code arrays
-     └─ step-1 batches [B, 2, no_bp] ──► device greedy counts
-         └─ host f64 TRC selection (argmax / tie / strict cutoff —
-            reference float semantics, allsteps.py:178-198)
-  subset FASTQ/FASTA written once per file (resume artifact,
-  main.py:64-87) — but step 2 uses the in-memory tail slices, never
-  re-parsing the subset file (the reference's O(K^2) re-parse,
-  allsteps.py:252-258, is deliberately not replicated)
-  step-2 batches [B, L] ──► device window counts + exact changepoint
-  CSV rows appended in input-read order after each device batch
+  parse blocks (C++ or Python reader; the encoded-block cache replays
+  later telophrases) ──► step-1 batches [B, 2, no_bp] ──► device
+  greedy counts ──► host f64 TRC selection (argmax / tie / strict
+  cutoff — reference float semantics, allsteps.py:178-198)
+     └─ passers stream STRAIGHT into step-2 batches [B, L] ──► device
+        window counts + exact changepoint, overlapping step 1's scan
+        of later blocks; peak host memory stays O(batch)
+  subset FASTQ/FASTA written once per file when its stream completes
+  (resume artifact, main.py:64-87) — step 2 uses the in-memory tail
+  slices, never re-parsing the subset file (the reference's O(K^2)
+  re-parse, allsteps.py:252-258, is deliberately not replicated)
+  CSV rows buffer per (file, k) unit and flush when the unit completes
+  (a unit failing mid-stream contributes nothing), in input-read order
   aggregation/quadfit on host f64 (aggregate.py)
 
 CSV rows, subset files, and aggregate log lines are bit-compatible with
