@@ -365,10 +365,16 @@ def main():
         t0 = time.time()
         eng.run()
         warm = time.time() - t0
+        import resource
+
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
         e2e = {"e2e_reads_per_s": round(n_reads / warm, 1),
                "e2e_mbps": round(total_bp / warm / 1e6, 2),
                "e2e_wall_s": round(warm, 1),
-               "e2e_cold_wall_s": round(cold, 1), "e2e_reads": n_reads}
+               "e2e_cold_wall_s": round(cold, 1), "e2e_reads": n_reads,
+               # process-lifetime peak RSS: evidence for the streamed
+               # pipeline's O(batch) host-memory claim
+               "e2e_peak_rss_mb": round(rss_mb)}
         print(f"[bench] e2e engine: {n_reads} reads / {total_bp/1e6:.1f} Mbp; "
               f"cold {cold:.1f}s, warm {warm:.1f}s = "
               f"{e2e['e2e_reads_per_s']} reads/s "
