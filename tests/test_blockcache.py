@@ -78,6 +78,26 @@ def test_budget_abandons_cleanly_and_refunds(tmp_path):
         assert not os.listdir(blockcache.cache_dir(out))
 
 
+def test_truncated_entry_detected_by_sentinel(tmp_path):
+    """An entry truncated AFTER commit (rename survived a crash, data
+    blocks didn't) must not replay as a clean short stream — that would
+    silently drop the file's tail reads for later telophrases."""
+    _, f = _input(tmp_path)
+    out = str(tmp_path / "o")
+    reserve, refund, _ = _mk_budget(10 << 20)
+    w = blockcache.BlockCacheWriter(out, str(f), 9000, 8, reserve, refund)
+    for i in range(3):
+        w.add([f"x{i}"], np.arange(50, dtype=np.uint8),
+              np.array([0, 50], np.int64))
+    assert w.commit() > 0
+    entry = blockcache._entry_path(out, str(f))
+    data = open(entry, "rb").read()
+    open(entry, "wb").write(data[: len(data) - 15])   # cut the sentinel
+    it = blockcache.open_cached_blocks(out, str(f), 9000, 8)
+    with pytest.raises(Exception):
+        list(it)
+
+
 def test_corrupt_replay_drops_entry_then_reparses(tmp_path, monkeypatch):
     """A cache entry corrupted after commit surfaces as InputFileError
     (loud unit failure, like any unreadable input), the entry is

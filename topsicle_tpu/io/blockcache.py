@@ -32,7 +32,8 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-_VERSION = 1
+_VERSION = 2          # v2: end-sentinel record detects truncated entries
+_END = ("__end__",)
 
 
 def cache_budget_bytes() -> int:
@@ -115,10 +116,14 @@ class BlockCacheWriter:
 
     def commit(self) -> int:
         """Atomically publish; returns bytes consumed (0 if abandoned;
-        the reservation is kept on success, refunded on failure)."""
+        the reservation is kept on success, refunded on failure).  An
+        end-sentinel record is appended so a replay can distinguish a
+        complete stream from one truncated after the rename (crash
+        before data blocks reached disk)."""
         if self._fh is None:
             return 0
         try:
+            pickle.dump(_END, self._fh)
             self._fh.close()
             os.replace(self._tmp, self._final)
             n = self._reserved
@@ -169,21 +174,33 @@ def open_cached_blocks(output_dir: str, input_path: str, min_len: int,
         with fh:
             while True:
                 try:
-                    ids, codes_b, offs_b = pickle.load(fh)
+                    rec = pickle.load(fh)
                 except EOFError:
+                    # EOF before the end sentinel: the entry was
+                    # truncated after commit (crash before data blocks
+                    # reached disk) — a clean-looking short stream
+                    # would silently drop the file's tail reads
+                    raise ValueError("truncated block-cache entry")
+                if rec == _END:
                     return
+                ids, codes_b, offs_b = rec
                 yield (ids, np.frombuffer(codes_b, np.uint8),
                        np.frombuffer(offs_b, np.int64))
     return gen()
 
 
-def drop_entry(output_dir: str, input_path: str) -> None:
+def drop_entry(output_dir: str, input_path: str) -> int:
     """Remove one cache entry (used when a replay fails mid-stream so
-    the retry re-parses the input instead of re-hitting the corruption)."""
+    the retry re-parses the input instead of re-hitting the
+    corruption).  Returns the bytes freed so the caller can refund the
+    entry's kept budget reservation."""
+    path = _entry_path(output_dir, input_path)
     try:
-        os.remove(_entry_path(output_dir, input_path))
+        n = os.path.getsize(path)
+        os.remove(path)
+        return n
     except OSError:
-        pass
+        return 0
 
 
 def clear(output_dir: str) -> None:

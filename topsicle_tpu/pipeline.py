@@ -322,13 +322,20 @@ class JaxEngine:
                         yield Block(ids, codes, offs)
                     return
                 except Exception as e:
-                    # an entry corrupted after commit must not kill the
-                    # run NOR poison the retry: drop it, fail the unit
+                    # an entry corrupted/truncated after commit must not
+                    # kill the run NOR poison the retry: drop it (and
+                    # refund its kept budget reservation), fail the unit
                     # like any unreadable input (resume re-parses fresh)
-                    blockcache.drop_entry(cfg.output_dir, path)
+                    self._bc_refund(
+                        blockcache.drop_entry(cfg.output_dir, path))
                     raise reader.InputFileError(path, e) from e
         bc = None
-        if self._bc_write and path not in self._bc_skip:
+        # the _bc_left read is an unlocked fast-path gate (exactness is
+        # enforced by the per-record reservation): once the budget is
+        # gone, new files skip writer construction and the per-block
+        # pickling entirely
+        if (self._bc_write and path not in self._bc_skip
+                and self._bc_left > 0):
             bc = blockcache.BlockCacheWriter(
                 cfg.output_dir, path, cfg.min_seq_length, cfg.batch_size,
                 self._bc_reserve, self._bc_refund)
@@ -1083,18 +1090,31 @@ class JaxEngine:
         all_files = list(enumerate(cfg.input_paths()))
         local_files = [(i, f) for i, f in all_files if not dist or i % nproc == pid]
 
-        if self._bc_enabled and not cfg.resume:
-            # fresh runs never replay a previous run's cache; also
-            # cleans stale entries a crashed run may have left behind
+        if self._bc_enabled:
             from topsicle_tpu.io import blockcache as _bc
 
-            _bc.clear(cfg.output_dir)
+            # a fresh budget + skip set per run: engine reuse (bench
+            # runs the same engine twice) must not start depleted by a
+            # previous run's reservations, which the end-of-run clear
+            # deletes without refunding
+            self._bc_left = _bc.cache_budget_bytes()
+            self._bc_skip.clear()
+            if not cfg.resume and not dist:
+                # fresh runs never replay a previous run's cache; also
+                # cleans stale entries a crashed run left behind.  Dist
+                # processes start unsynchronized, so a late starter
+                # must NOT wipe peers' committed entries — dist relies
+                # on the post-barrier clear (and mtime keys make stale
+                # entries inert).
+                _bc.clear(cfg.output_dir)
         phrases_all = cfg.telophrases()
         with trace_context(cfg.trace_dir):
-            for phrase in phrases_all:
+            for phrase_i, phrase in enumerate(phrases_all):
                 # the final phrase's parse output would never be read:
-                # skip the cache writes (replay still applies)
-                self._bc_write = self._bc_enabled and phrase != phrases_all[-1]
+                # skip the cache writes (replay still applies).  By
+                # INDEX, not value — telophrase lists may repeat.
+                self._bc_write = (self._bc_enabled
+                                  and phrase_i != len(phrases_all) - 1)
                 kmers = patterns_to_search(cfg.pattern, phrase)
                 self.log("patterns to search:", kmers)
                 if cfg.shard_mode == "global":
