@@ -78,6 +78,32 @@ def test_budget_abandons_cleanly_and_refunds(tmp_path):
         assert not os.listdir(blockcache.cache_dir(out))
 
 
+def test_engine_reuse_resets_budget(tmp_path, monkeypatch):
+    """bench.py runs one engine twice (cold/warm); the second run must
+    start with a fresh cache budget — run 1's reservations die with its
+    end-of-run clear — and produce a byte-identical CSV."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    indir, _ = _input(tmp_path)
+    monkeypatch.setenv("TOPSICLE_BLOCK_CACHE_MB", "64")
+    cfg = TopsicleConfig(
+        input_dir=str(indir), output_dir=str(tmp_path / "r1"),
+        pattern="CCCTAA", telophrase=[4, 5], batch_size=8,
+        maxlengthtelo=2048)
+    eng = JaxEngine(cfg, log=RunLog(None, echo=False))
+    eng.run()
+    budget_after_1 = eng._bc_left
+    cfg.output_dir = str(tmp_path / "r2")
+    eng.run()
+    assert eng._bc_left == budget_after_1     # run 2 re-reserved from full
+    a = (tmp_path / "r1" / "telolengths_all.csv").read_bytes()
+    b = (tmp_path / "r2" / "telolengths_all.csv").read_bytes()
+    assert a == b
+    for r in ("r1", "r2"):
+        assert not os.path.isdir(str(tmp_path / r / ".blockcache"))
+
+
 def test_truncated_entry_detected_by_sentinel(tmp_path):
     """An entry truncated AFTER commit (rename survived a crash, data
     blocks didn't) must not replay as a clean short stream — that would
