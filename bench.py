@@ -192,7 +192,8 @@ def _resident_measure(jax, batching, model, ep, el, tail_codes, lens, nw):
             # hoisted out of the loop; both stages still do full work
             x = jnp.uint8(i & 1)
             c = _step1_counts_lean(ep ^ x, el, table, k=K_PHRASE,
-                                   greedy=model.greedy_strategy)
+                                   greedy=model.greedy_strategy,
+                                   split_idx=model._split_idx)
             if use_pallas:
                 t, _ = _step2_boundary_pallas(
                     pp ^ x, piv, nw, table, k=K_PHRASE, K=model.K,
@@ -202,7 +203,8 @@ def _resident_measure(jax, batching, model, ep, el, tail_codes, lens, nw):
                 t, _ = _step2_boundary_lean(
                     pp ^ x, piv, nw, table, k=K_PHRASE, window_size=WINDOW,
                     slide=SLIDE, jump=5, min_size=2,
-                    strategy=model.window_strategy)
+                    strategy=model.window_strategy,
+                    split_idx=model._split_idx)
             return acc + jnp.sum(c) + jnp.sum(t) + i
         return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
 

@@ -218,3 +218,79 @@ def test_default_model_window_counts_match_oracle(rng):
             sub = s[w * slide : w * slide + wsize - 1]
             for j, km in enumerate(kmers):
                 assert raw[i, j, w] == count_nonoverlapping(sub, km), (i, w, km)
+
+
+def test_model_routes_split_for_mixed_table():
+    """Human CCCTAA k=5: 2 of 12 entries self-overlap — the model
+    splits, with the subsets indexing the original (sorted) order."""
+    kmers = telophrase_kmers("CCCTAA", 5)
+    m = TelomereScanModel(kmers)
+    assert not m.aperiodic
+    assert m.window_strategy == "split"
+    assert m.greedy_strategy == "split"
+    idx_a, idx_p = m._split_idx
+    assert len(idx_a) == 10 and len(idx_p) == 2
+    assert sorted(kmers[i] for i in idx_p) == ["CTAAC", "GATTG"]
+    # forcing 'sum' on a mixed table degrades to 'split', loudly
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m2 = TelomereScanModel(kmers, window_strategy="sum",
+                               greedy_strategy="sum")
+    assert m2.window_strategy == "split" and m2.greedy_strategy == "split"
+    assert sum("aperiodic" in str(x.message) for x in w) == 2
+    # 'split' requested on homogeneous tables degenerates sensibly
+    m3 = TelomereScanModel(telophrase_kmers("CCCTAAA", 5),
+                           window_strategy="split", greedy_strategy="split")
+    assert m3.window_strategy == "sum" and m3.greedy_strategy == "sum"
+
+
+def test_split_matches_phase_and_oracle(rng):
+    """Mixed-table split vs forced whole-table phase scan: step-1
+    counts, per-K window counts, and boundaries must be bit-identical,
+    and both must match finditer semantics — including on adversarial
+    periodic-run sequences where greedy genuinely blocks ('CTAAC'
+    chains at spacing 4)."""
+    wsize, slide = 100, 6
+    kmers = telophrase_kmers("CCCTAA", 5)
+    split_m = TelomereScanModel(kmers, window_size=wsize, slide=slide)
+    phase_m = TelomereScanModel(kmers, window_size=wsize, slide=slide,
+                                window_strategy="phase",
+                                greedy_strategy="chunked")
+    assert split_m.window_strategy == "split"
+    L = 2600
+    # CTAAC has period 4: "CTAA"*n hosts matches every 4 bp, the exact
+    # self-overlap case the aperiodic identity cannot handle
+    seqs = [
+        "CTAA" * (L // 4),
+        _telomere_like(rng, "CCCTAA", 900, L),
+        _random_seq(rng, L, n_prob=0.02),
+        ("CTAA" * 30 + _random_seq(rng, 200))[:L].ljust(L, "A"),
+    ]
+    codes = [batch.encode_read(s) for s in seqs]
+
+    ends = batch.ends_batch(codes, 1000)
+    c_split = split_m.step1_counts(ends)
+    c_phase = phase_m.step1_counts(ends)
+    np.testing.assert_array_equal(c_split, c_phase)
+    for i, s in enumerate(seqs):
+        for j, km in enumerate(kmers):
+            assert c_split[i, 0, j] == count_nonoverlapping(s[:1000], km), \
+                (i, km)
+
+    tcodes, lens = batch.tails_batch(codes, L)
+    raw_split = split_m.rawcounts(tcodes)
+    raw_phase = phase_m.rawcounts(tcodes)
+    np.testing.assert_array_equal(raw_split, raw_phase)
+    W = (L - wsize) // slide + 1
+    for i, s in (0, seqs[0]), (3, seqs[3]):      # the adversarial rows
+        for w in range(0, W, 7):
+            sub = s[w * slide : w * slide + wsize - 1]
+            for j, km in enumerate(kmers):
+                assert raw_split[i, j, w] == count_nonoverlapping(sub, km), \
+                    (i, w, km)
+
+    nw = batch.window_counts_for_lengths(lens, wsize, slide)
+    t_s, h_s = split_m.step2_boundary(tcodes, nw, lens)
+    t_p, h_p = phase_m.step2_boundary(tcodes, nw, lens)
+    np.testing.assert_array_equal(t_s, t_p)
+    np.testing.assert_array_equal(h_s, h_p)

@@ -62,6 +62,16 @@ def all_aperiodic(kmers: Sequence[str]) -> bool:
     return all(smallest_period(s) == len(s) for s in kmers)
 
 
+def aperiodic_mask(kmers: Sequence[str]) -> List[bool]:
+    """Per-entry aperiodicity (see all_aperiodic).  Production tables
+    are usually MIXED — e.g. the human CCCTAA k=5 table has only 2 of
+    12 self-overlapping entries — so models.telomere splits them: the
+    aperiodic subset takes the scan-free sum kernels and only the few
+    periodic entries pay the exact sequential scan (its cost scales
+    ~linearly in the entry count)."""
+    return [smallest_period(s) == len(s) for s in kmers]
+
+
 def patterns_to_search(pattern: Union[str, Sequence[str]], k: int) -> List[str]:
     """Reference-compatible entry point (allsteps.py:84-125).
 

@@ -26,12 +26,72 @@ import numpy as np
 
 from topsicle_tpu import ops
 from topsicle_tpu.io import batch as batching
-from topsicle_tpu.kmers import all_aperiodic, pack_kmer_table
+from topsicle_tpu.kmers import all_aperiodic, aperiodic_mask, pack_kmer_table
 from topsicle_tpu.utils.aot_cache import AotJit
 
 
+# ---- mixed-table split (strategy "split") -------------------------------
+# Aperiodicity is a PER-ENTRY property: most production tables are mixed
+# (human CCCTAA k=5: 2 of 12 entries self-overlap; CCCTAAA k=6: 4 of 14).
+# The split strategy runs the aperiodic subset on the scan-free sum
+# kernels and only the periodic few through the exact sequential scan,
+# whose cost scales ~linearly in its entry count — the whole-table scan
+# was the production fallback's 5x tax.  split_idx = (idx_a, idx_p):
+# static numpy index arrays into the original table order (which TRC
+# argmax tie-breaking depends on, so per-entry outputs scatter back).
+
+def _split_counts_scatter(c_a, c_p, idx_a, idx_p):
+    """[.., K_a, ..] + [.., K_p, ..] -> [.., K, ..] in original order."""
+    inv = np.argsort(np.concatenate([idx_a, idx_p]))
+    return jnp.concatenate([c_a, c_p], axis=-2)[..., inv, :]
+
+
+def _sub_scan_strategy(n_periodic: int) -> str:
+    """Exact-scan strategy for the periodic SUB-table.  The phase
+    scan's lane-packing advantage only pays off at large K; for the
+    small subsets the split produces, the simpler scans win.  Measured
+    same-session on TPU v5e (full fused chain, B=128 x 20 kbp,
+    2026-08-21; all variants bit-identical):
+
+        K_p=2 (CCCTAA k=5):   bitmask 0.97 | offset 1.38 | phase 2.70
+        K_p=4 (CCCTAAA k=6):  bitmask 1.50 | offset 1.60 | phase 2.71
+        K_p=6 (CCCTAA k=6):   bitmask 3.58 | offset 1.41 | phase 3.23
+        K_p=8 (CCCTAAA k=7):  bitmask 2.53 | offset 1.68 | phase 3.13
+
+    (whole-table phase at K=12-14 measures ~2.6-5.9 ms in the same
+    sessions — phase stays the right default for the all-periodic
+    fallback, where K is full-size)."""
+    return "bitmask" if n_periodic <= 4 else "offset"
+
+
+def _greedy_counts_split(match, k, split_idx, greedy_p="chunked"):
+    """[B, K, Lp] match bits -> [B, K] greedy counts, mixed table:
+    occurrence sums for the aperiodic entries, the exact greedy scan
+    for the periodic ones."""
+    idx_a, idx_p = split_idx
+    c_a = match[:, idx_a, :].sum(axis=-1, dtype=jnp.int32)
+    c_p = ops.greedy_count(match[:, idx_p, :], k, greedy_p)
+    inv = np.argsort(np.concatenate([idx_a, idx_p]))
+    return jnp.concatenate([c_a, c_p], axis=1)[:, inv]
+
+
+def _boundary_y_split(codes, table, *, k, window_size, slide, num_windows,
+                      split_idx):
+    """Fused y_int for a mixed table: scan-free sum signal over the
+    aperiodic subset + exact phase-scan floors over the periodic
+    subset.  Exact: each entry is counted by a method valid for it."""
+    idx_a, idx_p = split_idx
+    y = ops.boundary_sum_signal(
+        codes, table[np.asarray(idx_a)], k, window_size, slide, num_windows)
+    match_p = ops.match_positions(codes, table[np.asarray(idx_p)], k)
+    c_p = ops.window_nonoverlap_counts(
+        match_p, k, window_size, slide, num_windows,
+        strategy=_sub_scan_strategy(len(idx_p)))
+    return y + jnp.maximum(c_p, 1).sum(axis=1)
+
+
 def _step1_counts(ends_packed, ends_invalid, table, *, k: int,
-                  greedy: str = "chunked"):
+                  greedy: str = "chunked", split_idx=None):
     """Packed [B, 2, no_bp/4] + mask [B, 2, no_bp/8] -> [B, 2, K] int32
     greedy counts.  Inputs use the 2-bit wire format (io.batch.pack_batch)
     to keep host->device traffic at 2.25 bits/base."""
@@ -42,12 +102,35 @@ def _step1_counts(ends_packed, ends_invalid, table, *, k: int,
         Lq * 4,
     )
     match = ops.match_positions(flat, table, k)
-    counts = ops.greedy_count(match, k, greedy)     # [B*2, K]
+    if greedy == "split":
+        counts = _greedy_counts_split(match, k, split_idx)
+    else:
+        counts = ops.greedy_count(match, k, greedy)     # [B*2, K]
     return counts.reshape(B, two, -1)
 
 
+def _per_k_window_counts(codes, table, *, k, window_size, slide, num_windows,
+                         strategy, split_idx=None):
+    """[B, L] codes -> [B, K, W] per-window counts, honoring the split
+    strategy (per-subset methods, columns scattered back to the
+    original table order, which TRC/rawcount consumers depend on)."""
+    if strategy == "split":
+        idx_a, idx_p = split_idx
+        m_a = ops.match_positions(codes, table[np.asarray(idx_a)], k)
+        c_a = ops.window_nonoverlap_counts(
+            m_a, k, window_size, slide, num_windows, strategy="sum")
+        m_p = ops.match_positions(codes, table[np.asarray(idx_p)], k)
+        c_p = ops.window_nonoverlap_counts(
+            m_p, k, window_size, slide, num_windows,
+            strategy=_sub_scan_strategy(len(idx_p)))
+        return _split_counts_scatter(c_a, c_p, idx_a, idx_p)
+    match = ops.match_positions(codes, table, k)
+    return ops.window_nonoverlap_counts(match, k, window_size, slide,
+                                        num_windows, strategy=strategy)
+
+
 def _step2_signal(tail_packed, tail_invalid, table, *, k: int, window_size: int,
-                  slide: int, strategy: str = "offset"):
+                  slide: int, strategy: str = "offset", split_idx=None):
     """Packed tails -> per-window counts [B, K, W] int32.
 
     W is the static window count for the padded length; ragged reads are
@@ -57,23 +140,28 @@ def _step2_signal(tail_packed, tail_invalid, table, *, k: int, window_size: int,
     L = tail_packed.shape[-1] * 4
     num_windows = max(0, (L - window_size) // slide + 1)
     codes = ops.unpack_codes(tail_packed, tail_invalid, L)
-    match = ops.match_positions(codes, table, k)
-    return ops.window_nonoverlap_counts(match, k, window_size, slide, num_windows,
-                                        strategy=strategy)
+    return _per_k_window_counts(codes, table, k=k, window_size=window_size,
+                                slide=slide, num_windows=num_windows,
+                                strategy=strategy, split_idx=split_idx)
 
 
 def _step2_boundary(tail_packed, tail_invalid, n_windows, table, *, k: int,
                     window_size: int, slide: int, jump: int, min_size: int,
-                    strategy: str = "offset"):
+                    strategy: str = "offset", split_idx=None):
+    L = tail_packed.shape[-1] * 4
+    num_windows = max(0, (L - window_size) // slide + 1)
     if strategy == "sum" and int(table.shape[0]) <= 31:
         # Fused scan-free signal: never materializes [B, K, Lp]
         # (ops.boundary_sum_signal; exact for aperiodic tables, which is
         # what routes strategy='sum' here)
-        L = tail_packed.shape[-1] * 4
-        num_windows = max(0, (L - window_size) // slide + 1)
         codes = ops.unpack_codes(tail_packed, tail_invalid, L)
         y_int = ops.boundary_sum_signal(codes, table, k, window_size, slide,
                                         num_windows)
+    elif strategy == "split":
+        codes = ops.unpack_codes(tail_packed, tail_invalid, L)
+        y_int = _boundary_y_split(codes, table, k=k, window_size=window_size,
+                                  slide=slide, num_windows=num_windows,
+                                  split_idx=split_idx)
     else:
         counts = _step2_signal(tail_packed, tail_invalid, table, k=k,
                                window_size=window_size, slide=slide,
@@ -90,7 +178,7 @@ def _step2_boundary(tail_packed, tail_invalid, n_windows, table, *, k: int,
 # are bit-identical where both apply (tested). ---------------------------
 
 def _step1_counts_lean(ends_packed, ends_len, table, *, k: int,
-                       greedy: str = "chunked"):
+                       greedy: str = "chunked", split_idx=None):
     """Packed [B, 2, no_bp/4] + valid length [B] -> [B, 2, K] int32.
     Both end rows of a read share one valid length min(len, no_bp)
     (io.batch.extract_ends)."""
@@ -98,28 +186,35 @@ def _step1_counts_lean(ends_packed, ends_len, table, *, k: int,
     lens = jnp.broadcast_to(ends_len[:, None], (B, two)).reshape(B * two)
     flat = ops.unpack_codes_len(ends_packed.reshape(B * two, Lq), lens, Lq * 4)
     match = ops.match_positions(flat, table, k)
+    if greedy == "split":
+        return _greedy_counts_split(match, k, split_idx).reshape(B, two, -1)
     return ops.greedy_count(match, k, greedy).reshape(B, two, -1)
 
 
 def _step2_signal_lean(tail_packed, lens, table, *, k: int, window_size: int,
-                       slide: int, strategy: str = "offset"):
+                       slide: int, strategy: str = "offset", split_idx=None):
     L = tail_packed.shape[-1] * 4
     num_windows = max(0, (L - window_size) // slide + 1)
     codes = ops.unpack_codes_len(tail_packed, lens, L)
-    match = ops.match_positions(codes, table, k)
-    return ops.window_nonoverlap_counts(match, k, window_size, slide, num_windows,
-                                        strategy=strategy)
+    return _per_k_window_counts(codes, table, k=k, window_size=window_size,
+                                slide=slide, num_windows=num_windows,
+                                strategy=strategy, split_idx=split_idx)
 
 
 def _step2_boundary_lean(tail_packed, lens, n_windows, table, *, k: int,
                          window_size: int, slide: int, jump: int, min_size: int,
-                         strategy: str = "offset"):
+                         strategy: str = "offset", split_idx=None):
+    L = tail_packed.shape[-1] * 4
+    num_windows = max(0, (L - window_size) // slide + 1)
     if strategy == "sum" and int(table.shape[0]) <= 31:
-        L = tail_packed.shape[-1] * 4
-        num_windows = max(0, (L - window_size) // slide + 1)
         codes = ops.unpack_codes_len(tail_packed, lens, L)
         y_int = ops.boundary_sum_signal(codes, table, k, window_size, slide,
                                         num_windows)
+    elif strategy == "split":
+        codes = ops.unpack_codes_len(tail_packed, lens, L)
+        y_int = _boundary_y_split(codes, table, k=k, window_size=window_size,
+                                  slide=slide, num_windows=num_windows,
+                                  split_idx=split_idx)
     else:
         counts = _step2_signal_lean(tail_packed, lens, table, k=k,
                                     window_size=window_size, slide=slide,
@@ -193,15 +288,20 @@ def resolve_use_pallas(requested: bool | None = None) -> bool:
 
 
 def resolve_window_strategy(requested: str | None = None, *,
-                            aperiodic: bool = False) -> str:
+                            aperiodic: bool = False,
+                            mixed: bool = False) -> str:
     """Pick the step-2 window-scan strategy (see ops.match for the
     catalogue).  Priority: explicit argument > TOPSICLE_WINDOW_STRATEGY
-    env var > 'sum' when the k-mer table is aperiodic, else 'phase'.
+    env var > 'sum' when the whole k-mer table is aperiodic, 'split'
+    when only some entries are (the usual production case — human
+    CCCTAA k=5 has 2 periodic entries of 12), else 'phase'.
 
     'sum' replaces the sequential greedy scan with ~12 shift-add passes
     (exact because an aperiodic k-mer can never self-overlap, so greedy
     == occurrence count — kmers.all_aperiodic) and compiles in seconds
-    everywhere.  'phase' is the general-case scan, ~3x faster than
+    everywhere.  'split' applies 'sum' to the aperiodic subset and the
+    exact scan only to the periodic few (scan cost ~linear in entry
+    count).  'phase' is the general-case scan, ~3x faster than
     'offset' steady-state on TPU (full lane utilization), bit-identical
     (property-tested); its minutes-long first compile on some remote
     TPU toolchains is amortized by the persistent compilation cache
@@ -209,23 +309,24 @@ def resolve_window_strategy(requested: str | None = None, *,
     import os
 
     s = requested or os.environ.get("TOPSICLE_WINDOW_STRATEGY") \
-        or ("sum" if aperiodic else "phase")
-    if s not in ("offset", "phase", "bitmask", "sum"):
+        or ("sum" if aperiodic else ("split" if mixed else "phase"))
+    if s not in ("offset", "phase", "bitmask", "sum", "split"):
         raise ValueError(f"unknown window strategy {s!r}")
     return s
 
 
 def resolve_greedy_strategy(requested: str | None = None, *,
-                            aperiodic: bool = False) -> str:
+                            aperiodic: bool = False,
+                            mixed: bool = False) -> str:
     """Pick the step-1 greedy-count strategy (ops.match.greedy_count).
     Priority: explicit argument > TOPSICLE_GREEDY_STRATEGY env var >
     'sum' when the table is aperiodic (plain reduction — exact, see
-    resolve_window_strategy), else 'chunked' (the scan shape remote TPU
-    compile services handle in seconds; 'tree' is the log-depth
-    alternative, bit-identical)."""
+    resolve_window_strategy), 'split' when only some entries are, else
+    'chunked' (the scan shape remote TPU compile services handle in
+    seconds; 'tree' is the log-depth alternative, bit-identical)."""
     s = requested or os.environ.get("TOPSICLE_GREEDY_STRATEGY") \
-        or ("sum" if aperiodic else "chunked")
-    if s not in ("chunked", "tree", "sum"):
+        or ("sum" if aperiodic else ("split" if mixed else "chunked"))
+    if s not in ("chunked", "tree", "sum", "split"):
         raise ValueError(f"unknown greedy strategy {s!r}")
     return s
 
@@ -258,27 +359,44 @@ class TelomereScanModel:
         self.slide = slide
         self.jump = jump
         self.min_size = min_size
-        # Aperiodic tables (no k-mer self-overlaps — true of the default
-        # k=5 CCCTAAA table; k=6/7 rotations have period k-1) unlock the
-        # scan-free sum kernels; greedy == occurrence count there
-        # (kmers.all_aperiodic).
-        self.aperiodic = all_aperiodic(self.kmers)
+        # Aperiodicity is per entry (kmers.aperiodic_mask): a fully
+        # aperiodic table (the default k=5 CCCTAAA one) takes the
+        # scan-free sum kernels outright; a MIXED table (human CCCTAA
+        # k=5: 2 periodic entries of 12) splits — sum kernels for the
+        # aperiodic subset, the exact scan for the periodic few; a
+        # fully periodic table keeps the exact scan.
+        mask = np.asarray(aperiodic_mask(self.kmers))
+        self.aperiodic = bool(mask.all())
+        mixed = bool(mask.any()) and not self.aperiodic
         self.window_strategy = resolve_window_strategy(
-            window_strategy, aperiodic=self.aperiodic)
+            window_strategy, aperiodic=self.aperiodic, mixed=mixed)
         self.greedy_strategy = resolve_greedy_strategy(
-            greedy_strategy, aperiodic=self.aperiodic)
+            greedy_strategy, aperiodic=self.aperiodic, mixed=mixed)
         if not self.aperiodic:
-            # A forced 'sum' on a periodic table would silently break
-            # greedy semantics — degrade to the exact scan paths instead.
+            # A forced 'sum' on a not-fully-aperiodic table would
+            # silently break greedy semantics — degrade to the exact
+            # split/scan paths instead.
             import warnings
+            fallback_w = "split" if mixed else "phase"
+            fallback_g = "split" if mixed else "chunked"
             if self.window_strategy == "sum":
                 warnings.warn("window strategy 'sum' requires an aperiodic "
-                              "k-mer table; falling back to 'phase'")
-                self.window_strategy = "phase"
+                              f"k-mer table; falling back to {fallback_w!r}")
+                self.window_strategy = fallback_w
             if self.greedy_strategy == "sum":
                 warnings.warn("greedy strategy 'sum' requires an aperiodic "
-                              "k-mer table; falling back to 'chunked'")
-                self.greedy_strategy = "chunked"
+                              f"k-mer table; falling back to {fallback_g!r}")
+                self.greedy_strategy = fallback_g
+        # 'split' on a homogeneous table degenerates to the right
+        # single-path strategy (an empty subset would be a zero-width
+        # program input)
+        if self.window_strategy == "split" and not mixed:
+            self.window_strategy = "sum" if self.aperiodic else "phase"
+        if self.greedy_strategy == "split" and not mixed:
+            self.greedy_strategy = "sum" if self.aperiodic else "chunked"
+        self._split_idx = None
+        if "split" in (self.window_strategy, self.greedy_strategy):
+            self._split_idx = (np.nonzero(mask)[0], np.nonzero(~mask)[0])
         self.use_pallas = resolve_use_pallas(use_pallas)
         # On non-TPU backends an explicitly requested Pallas path runs in
         # interpret mode (correctness testing); Mosaic codegen is TPU-only.
@@ -291,7 +409,8 @@ class TelomereScanModel:
         # high variance) is paid once ever per program, and the emitted
         # binary — whose quality varies per draw — is pinned.
         self._step1 = AotJit(functools.partial(
-            _step1_counts, k=self.k, greedy=self.greedy_strategy),
+            _step1_counts, k=self.k, greedy=self.greedy_strategy,
+            split_idx=self._split_idx),
             name="step1")
         self._step2 = AotJit(
             functools.partial(
@@ -302,13 +421,14 @@ class TelomereScanModel:
                 jump=jump,
                 min_size=min_size,
                 strategy=self.window_strategy,
+                split_idx=self._split_idx,
             ),
             name="step2",
         )
         self._rawcounts = AotJit(
             functools.partial(
                 _step2_signal, k=self.k, window_size=window_size, slide=slide,
-                strategy=self.window_strategy,
+                strategy=self.window_strategy, split_idx=self._split_idx,
             ),
             name="rawcounts",
         )
@@ -316,6 +436,7 @@ class TelomereScanModel:
             functools.partial(
                 _step2_signal_lean, k=self.k, window_size=window_size,
                 slide=slide, strategy=self.window_strategy,
+                split_idx=self._split_idx,
             ),
             name="rawcounts_lean",
         )
@@ -348,7 +469,8 @@ class TelomereScanModel:
             name="step2_pallas_lean",
         )
         self._step1_lean = AotJit(functools.partial(
-            _step1_counts_lean, k=self.k, greedy=self.greedy_strategy),
+            _step1_counts_lean, k=self.k, greedy=self.greedy_strategy,
+            split_idx=self._split_idx),
             name="step1_lean")
         self._step2_lean = AotJit(
             functools.partial(
@@ -359,6 +481,7 @@ class TelomereScanModel:
                 jump=jump,
                 min_size=min_size,
                 strategy=self.window_strategy,
+                split_idx=self._split_idx,
             ),
             name="step2_lean",
         )

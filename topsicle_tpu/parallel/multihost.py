@@ -61,7 +61,8 @@ class GlobalScanModel:
         # every process of a pod loads the same pinned binary.
         self._step1 = AotJit(
             functools.partial(_step1_counts_lean, k=base.k,
-                              greedy=base.greedy_strategy),
+                              greedy=base.greedy_strategy,
+                              split_idx=base._split_idx),
             name="gl_step1",
             in_shardings=(self._shard3, self._shard, self._repl),
             out_shardings=self._repl,
@@ -70,7 +71,7 @@ class GlobalScanModel:
             functools.partial(
                 _step2_boundary_lean, k=base.k, window_size=base.window_size,
                 slide=base.slide, jump=base.jump, min_size=base.min_size,
-                strategy=base.window_strategy,
+                strategy=base.window_strategy, split_idx=base._split_idx,
             ),
             name="gl_step2",
             in_shardings=(self._shard2, self._shard, self._shard, self._repl),
@@ -82,7 +83,8 @@ class GlobalScanModel:
         # processes calling different programs and deadlock)
         self._step1_dense = AotJit(
             functools.partial(_step1_counts, k=base.k,
-                              greedy=base.greedy_strategy),
+                              greedy=base.greedy_strategy,
+                              split_idx=base._split_idx),
             name="gl_step1_dense",
             in_shardings=(self._shard3, self._shard3, self._repl),
             out_shardings=self._repl,
@@ -91,7 +93,7 @@ class GlobalScanModel:
             functools.partial(
                 _step2_boundary, k=base.k, window_size=base.window_size,
                 slide=base.slide, jump=base.jump, min_size=base.min_size,
-                strategy=base.window_strategy,
+                strategy=base.window_strategy, split_idx=base._split_idx,
             ),
             name="gl_step2_dense",
             in_shardings=(self._shard2, self._shard2, self._shard, self._repl),

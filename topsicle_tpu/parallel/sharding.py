@@ -43,11 +43,13 @@ class ShardedScanModel:
         self.n = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
         k = base.k
 
-        step1 = functools.partial(_step1_counts, k=k, greedy=base.greedy_strategy)
+        step1 = functools.partial(_step1_counts, k=k,
+                                  greedy=base.greedy_strategy,
+                                  split_idx=base._split_idx)
         step2 = functools.partial(
             _step2_boundary, k=k, window_size=base.window_size,
             slide=base.slide, jump=base.jump, min_size=base.min_size,
-            strategy=base.window_strategy,
+            strategy=base.window_strategy, split_idx=base._split_idx,
         )
 
         spec_b = P(DATA_AXIS)      # shard batch axis
@@ -74,11 +76,13 @@ class ShardedScanModel:
             name="sh_step2",
         )
 
-        step1_lean = functools.partial(_step1_counts_lean, k=k, greedy=base.greedy_strategy)
+        step1_lean = functools.partial(_step1_counts_lean, k=k,
+                                       greedy=base.greedy_strategy,
+                                       split_idx=base._split_idx)
         step2_lean = functools.partial(
             _step2_boundary_lean, k=k, window_size=base.window_size,
             slide=base.slide, jump=base.jump, min_size=base.min_size,
-            strategy=base.window_strategy,
+            strategy=base.window_strategy, split_idx=base._split_idx,
         )
         self._step1_lean = AotJit(
             shard_map(
