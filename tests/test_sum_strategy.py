@@ -294,3 +294,30 @@ def test_split_matches_phase_and_oracle(rng):
     t_p, h_p = phase_m.step2_boundary(tcodes, nw, lens)
     np.testing.assert_array_equal(t_s, t_p)
     np.testing.assert_array_equal(h_s, h_p)
+
+
+def test_oversized_aperiodic_subset_keeps_whole_table_scan(rng):
+    """>31 aperiodic entries + a periodic one: the split WINDOW path
+    would exceed boundary_sum_signal's 31-entry presence plane, so the
+    model must keep the whole-table scan there (greedy split has no
+    such cap) — and still run (this crashed before the guard)."""
+    import itertools
+
+    aper = []
+    for t in itertools.product("ACGT", repeat=6):
+        w = "".join(t)
+        if smallest_period(w) == 6:
+            aper.append(w)
+        if len(aper) == 33:
+            break
+    kms = aper + ["CAAAAC"]          # periodic (period 5)
+    assert smallest_period("CAAAAC") == 5
+    m = TelomereScanModel(kms)
+    assert m.window_strategy == "phase"
+    assert m.greedy_strategy == "split"
+    codes = [batch.encode_read(_random_seq(rng, 600))]
+    tcodes, lens = batch.tails_batch(codes, 600)
+    nw = batch.window_counts_for_lengths(lens, 100, 7)
+    t, has = m.step2_boundary(tcodes, nw, lens)      # must not raise
+    c = m.step1_counts(batch.ends_batch(codes, 300))
+    assert c.shape == (1, 2, 34)

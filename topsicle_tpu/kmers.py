@@ -59,7 +59,7 @@ def all_aperiodic(kmers: Sequence[str]) -> bool:
     *sum* kernels (no sequential scan) when the whole table qualifies;
     complementation preserves periods, so origin+complement tables
     qualify together."""
-    return all(smallest_period(s) == len(s) for s in kmers)
+    return all(aperiodic_mask(kmers))
 
 
 def aperiodic_mask(kmers: Sequence[str]) -> List[bool]:

@@ -40,10 +40,14 @@ from topsicle_tpu.utils.aot_cache import AotJit
 # static numpy index arrays into the original table order (which TRC
 # argmax tie-breaking depends on, so per-entry outputs scatter back).
 
-def _split_counts_scatter(c_a, c_p, idx_a, idx_p):
-    """[.., K_a, ..] + [.., K_p, ..] -> [.., K, ..] in original order."""
+def _split_counts_scatter(c_a, c_p, idx_a, idx_p, axis):
+    """Concatenate per-subset results along `axis` (the K axis) and
+    inverse-permute back to the ORIGINAL table order — which TRC argmax
+    tie-breaking and rawcount CSV columns depend on.  The single home
+    of this ordering-critical invariant."""
     inv = np.argsort(np.concatenate([idx_a, idx_p]))
-    return jnp.concatenate([c_a, c_p], axis=-2)[..., inv, :]
+    return jnp.take(jnp.concatenate([c_a, c_p], axis=axis),
+                    jnp.asarray(inv), axis=axis)
 
 
 def _sub_scan_strategy(n_periodic: int) -> str:
@@ -71,8 +75,7 @@ def _greedy_counts_split(match, k, split_idx, greedy_p="chunked"):
     idx_a, idx_p = split_idx
     c_a = match[:, idx_a, :].sum(axis=-1, dtype=jnp.int32)
     c_p = ops.greedy_count(match[:, idx_p, :], k, greedy_p)
-    inv = np.argsort(np.concatenate([idx_a, idx_p]))
-    return jnp.concatenate([c_a, c_p], axis=1)[:, inv]
+    return _split_counts_scatter(c_a, c_p, idx_a, idx_p, axis=1)
 
 
 def _boundary_y_split(codes, table, *, k, window_size, slide, num_windows,
@@ -114,17 +117,17 @@ def _per_k_window_counts(codes, table, *, k, window_size, slide, num_windows,
     """[B, L] codes -> [B, K, W] per-window counts, honoring the split
     strategy (per-subset methods, columns scattered back to the
     original table order, which TRC/rawcount consumers depend on)."""
-    if strategy == "split":
-        idx_a, idx_p = split_idx
-        m_a = ops.match_positions(codes, table[np.asarray(idx_a)], k)
-        c_a = ops.window_nonoverlap_counts(
-            m_a, k, window_size, slide, num_windows, strategy="sum")
-        m_p = ops.match_positions(codes, table[np.asarray(idx_p)], k)
-        c_p = ops.window_nonoverlap_counts(
-            m_p, k, window_size, slide, num_windows,
-            strategy=_sub_scan_strategy(len(idx_p)))
-        return _split_counts_scatter(c_a, c_p, idx_a, idx_p)
     match = ops.match_positions(codes, table, k)
+    if strategy == "split":
+        # one rolling-codes + match pass; the subsets are row slices
+        idx_a, idx_p = split_idx
+        c_a = ops.window_nonoverlap_counts(
+            match[:, idx_a, :], k, window_size, slide, num_windows,
+            strategy="sum")
+        c_p = ops.window_nonoverlap_counts(
+            match[:, idx_p, :], k, window_size, slide, num_windows,
+            strategy=_sub_scan_strategy(len(idx_p)))
+        return _split_counts_scatter(c_a, c_p, idx_a, idx_p, axis=1)
     return ops.window_nonoverlap_counts(match, k, window_size, slide,
                                         num_windows, strategy=strategy)
 
@@ -394,6 +397,13 @@ class TelomereScanModel:
             self.window_strategy = "sum" if self.aperiodic else "phase"
         if self.greedy_strategy == "split" and not mixed:
             self.greedy_strategy = "sum" if self.aperiodic else "chunked"
+        if self.window_strategy == "split" and int(mask.sum()) > 31:
+            # boundary_sum_signal's presence bit-plane holds at most 31
+            # entries (same cap the 'sum' route guards): oversized
+            # aperiodic subsets — possible with user-supplied k-mer
+            # lists — keep the whole-table exact scan (greedy 'split'
+            # has no such cap; match sums are plain reductions)
+            self.window_strategy = "phase"
         self._split_idx = None
         if "split" in (self.window_strategy, self.greedy_strategy):
             self._split_idx = (np.nonzero(mask)[0], np.nonzero(~mask)[0])

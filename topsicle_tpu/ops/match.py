@@ -292,9 +292,16 @@ def window_nonoverlap_counts(
     - "bitmask": ~k x fewer scan steps — after a take the next k-1
       offsets are blocked, so each k-offset chunk admits at most one
       take, found via packed match-bit words + shift +
-      count-trailing-zeros.  NOTE: the variable-shift/popcount scan body
-      is pathological for some TPU toolchains (observed: the axon remote
-      compiler never finishes).
+      count-trailing-zeros.  Compile-cost note: at FULL table width
+      (K=14) the variable-shift/popcount scan body once hung the axon
+      remote compiler indefinitely (round 1-2); at the small sub-table
+      widths the mixed-table split feeds it (K_p <= 4), the same
+      service compiled it in seconds across repeated fresh sessions
+      (2026-08-21, six novel program shapes) — and the AOT executable
+      cache (utils/aot_cache.py) makes any first-compile cost
+      once-ever per deployment.  models.telomere._sub_scan_strategy
+      selects it only for those small subsets, where it measured
+      fastest.
     """
     if strategy == "offset":
         return _window_counts_offset_scan(match, k, window_size, slide, num_windows)
