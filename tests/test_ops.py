@@ -196,6 +196,48 @@ def test_changepoint_admissibility_bounds():
     assert not bool(has[2])
 
 
+def test_changepoint_two_limb_divisor_branch(rng):
+    """W >= 131072 windows selects the _mul_limbs (2-limb D) multiplier
+    (ops/changepoint.py:166) — production-reachable at maxlengthtelo
+    ~ 655k with slide 1, and never executed by the small-W tests above.
+    Exactness is checked against the Fraction oracle on data with a real
+    level shift (A^2 needs all 4 limbs) plus a constant tie row."""
+    from topsicle_tpu.ops import binseg_l2_device
+    from topsicle_tpu.ops.changepoint import _mul_limbs, _mul_limbs_1
+
+    W = 131072
+    assert (W * W) // 4 > 0xFFFFFFFF  # the guard that selects _mul_limbs
+
+    n0 = W
+    cut = 77775  # not a candidate multiple of 5; nearest candidates tie-break
+    y0 = np.fromiter((rng.randrange(1, 60) for _ in range(n0)), np.int64, n0)
+    y0[:cut] += 80
+    y1 = np.full(W, 7, np.int64)  # all-tie row -> first candidate (t=5)
+    t, has = binseg_l2_device(np.stack([y0, y1]),
+                              np.array([n0, W], dtype=np.int32))
+    want = _exact_best_t(y0.tolist(), n0)
+    assert bool(has[0]) and int(t[0]) == want
+    assert bool(has[1]) and int(t[1]) == 5
+
+    # unit cross-check: the generic 2-limb multiplier equals the 1-limb
+    # specialization wherever the latter is defined (d < 2**32)
+    a = np.array([(1 << 62) + 12345, -((1 << 61) + 999), 3, 0], np.int64)
+    d = np.array([0xFFFFFFFF, 1, (1 << 31) + 7, 12], np.int64)
+    from topsicle_tpu.ops.changepoint import _sq_limbs
+
+    sq = _sq_limbs(np.abs(a))
+    lo = _mul_limbs_1(sq, d)
+    hi = _mul_limbs(sq, d)
+    for i in range(5):
+        np.testing.assert_array_equal(np.asarray(lo[i]), np.asarray(hi[i]))
+    assert np.all(np.asarray(hi[5]) == 0)
+    # and against Python bignum ground truth
+    got = [sum(int(np.asarray(hi[j])[i]) << (32 * j) for j in range(6))
+           for i in range(4)]
+    want_vals = [int(a[i]) ** 2 * int(d[i]) for i in range(4)]
+    assert got == want_vals
+
+
 def test_full_read_boundary_vs_oracle(rng):
     pattern = "CCCTAAA"
     kmers = telophrase_kmers(pattern, 5)
