@@ -198,7 +198,7 @@ def _resident_measure(jax, batching, model, ep, el, tail_codes, lens, nw):
                 t, _ = _step2_boundary_pallas(
                     pp ^ x, piv, nw, table, k=K_PHRASE, K=model.K,
                     window_size=WINDOW, slide=SLIDE, L=Lpad,
-                    jump=5, min_size=2)
+                    jump=5, min_size=2, mode=model.pallas_kind or "greedy")
             else:
                 t, _ = _step2_boundary_lean(
                     pp ^ x, piv, nw, table, k=K_PHRASE, window_size=WINDOW,
@@ -243,6 +243,9 @@ def _resident_measure(jax, batching, model, ep, el, tail_codes, lens, nw):
         "reads_per_s": round(B / best),
         "startup_s": round(startup_s, 1),
         "aot_source": src,
+        # the chained program's cache file (content-addressed): the
+        # re-roll driver uses the basename to install better draws
+        "aot_path": next(iter(chain.paths.values()), None),
     }
     try:
         ms_best, ms_worst, n_draws = _draw_history_update(
@@ -263,6 +266,102 @@ def resident_probe():
     jax, batching, model, ends, ep, el, tail_codes, lens, nw = _setup()
     print(json.dumps(_resident_measure(
         jax, batching, model, ep, el, tail_codes, lens, nw)))
+
+
+def _reroll_lottery(resident, model, remaining):
+    """Bounded compile-lottery re-roll (VERDICT r4 item 2).
+
+    The AOT cache pins ONE binary forever — good for stability, but the
+    compile service emits binaries of varying quality per draw (the
+    byte-identical headline program has measured 0.32 and 0.47 ms/iter
+    on different draws, BASELINE.md), and once a draw is pinned no
+    fresh draw ever happens to beat it.  This runs up to
+    TOPSICLE_BENCH_REROLL fresh-compile probes, each in a subprocess
+    whose TOPSICLE_AOT_DIR points at a throwaway dir (so it compiles
+    fresh AND serializes its binary where we can grab it), measures
+    each draw with the same chained-slope method, and atomically
+    installs a draw into the shared cache when it beats the pinned
+    best by >5%.  Every draw (kept or not) lands in the bench_draws
+    history.  Budget-gated: a roll is only started with >=700 s left
+    (observed fresh draws up to ~800 s are killed at 650 s and
+    recorded as timeouts)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    from topsicle_tpu.utils.aot_cache import aot_cache_dir
+
+    n = int(os.environ.get("TOPSICLE_BENCH_REROLL", "2"))
+    if n <= 0 or resident is None or resident.get("aot_source") == "jit":
+        return
+    best_ms = resident.get("ms_per_iter_best_draw", resident["ms_per_iter"])
+    rolls = []
+    installed = False
+    for i in range(n):
+        if remaining() < 700:
+            print(f"[bench] reroll {i+1}/{n} skipped (budget: "
+                  f"{remaining():.0f}s left)", file=sys.stderr, flush=True)
+            break
+        tmp = tempfile.mkdtemp(prefix="topsicle-reroll-")
+        env = dict(os.environ, TOPSICLE_AOT_DIR=tmp,
+                   TOPSICLE_BENCH_REROLL="0")
+        try:
+            pr = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--resident-probe"],
+                capture_output=True, text=True, timeout=650, env=env)
+            data = json.loads(pr.stdout.strip().splitlines()[-1])
+        except subprocess.TimeoutExpired:
+            print(f"[bench] reroll {i+1}/{n}: draw timed out (>650s "
+                  "compile; recorded)", file=sys.stderr, flush=True)
+            rolls.append({"ms": None, "timeout": True})
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        except Exception as e:
+            print(f"[bench] reroll {i+1}/{n} failed: {e}",
+                  file=sys.stderr, flush=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        ms = data.get("ms_per_iter")
+        child_path = data.get("aot_path")
+        rolls.append({"ms": ms, "startup_s": data.get("startup_s")})
+        take = ms is not None and ms < best_ms * 0.95
+        print(f"[bench] reroll {i+1}/{n}: fresh draw {ms} ms/iter "
+              f"(pinned best {best_ms}) -> "
+              f"{'INSTALLED' if take else 'discarded'}",
+              file=sys.stderr, flush=True)
+        if take and child_path and os.path.exists(child_path):
+            main_path = os.path.join(aot_cache_dir(),
+                                     os.path.basename(child_path))
+            try:
+                shutil.copyfile(child_path, main_path + ".tmp")
+                os.replace(main_path + ".tmp", main_path)  # atomic
+                best_ms = ms
+                installed = True
+                # record + pin via the shared history logic
+                _draw_history_update(model, "compile", ms, main_path)
+            except OSError as e:
+                print(f"[bench] reroll install failed: {e}",
+                      file=sys.stderr, flush=True)
+        elif ms is not None:
+            _draw_history_update(model, "compile", ms, None)
+        shutil.rmtree(tmp, ignore_errors=True)
+    if rolls:
+        resident["reroll_draws"] = rolls
+        ok = [r["ms"] for r in rolls if r.get("ms") is not None]
+        if ok:
+            resident["ms_per_iter_best_draw"] = min(
+                resident.get("ms_per_iter_best_draw",
+                             resident["ms_per_iter"]), *ok)
+        if installed:
+            # the installed binary IS what every future process runs:
+            # report it as the steady state (same methodology, fresh
+            # subprocess, chained slope)
+            resident["mbps"] = round(
+                resident["mbps"] * resident["ms_per_iter"] / best_ms, 1)
+            resident["reads_per_s"] = round(B / (best_ms / 1e3))
+            resident["ms_per_iter"] = best_ms
+            resident["headline_source"] = "reroll"
 
 
 def main():

@@ -168,6 +168,94 @@ def test_pallas_lean_multi_block(monkeypatch):
     np.testing.assert_array_equal(np.asarray(y), _xla_signal(tails, table, k, w, slide))
 
 
+@pytest.mark.parametrize("seed,L", [(0, 2048), (1, 4096)])
+def test_pallas_sum_signal_matches_xla(seed, L):
+    """The round-5 scan-free sum-signal kernel == the greedy kernel ==
+    the XLA path on the (aperiodic) demo table, dirty batches."""
+    from topsicle_tpu.ops.pallas_kernels import step2_sum_signal_pallas
+
+    rng = np.random.default_rng(seed)
+    B = 8
+    tails = rng.integers(0, 6, (B, L)).astype(np.uint8)  # incl. invalid
+    table = jnp.asarray(pack_kmer_table(telophrase_kmers("CCCTAAA", 5)))
+
+    p, m = batching.pack_tails_phase_planar(tails, 5, 100, 6)
+    y = step2_sum_signal_pallas(jnp.asarray(p), jnp.asarray(m), table,
+                                k=5, K=14, window_size=100, slide=6, L=L,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(y),
+                                  _xla_signal(tails, table, 5, 100, 6))
+
+
+def test_pallas_sum_signal_lean_and_multi_block(monkeypatch):
+    """Lean wire + nWB > 1 grid for the sum-signal kernel."""
+    from topsicle_tpu.ops.pallas_kernels import step2_sum_signal_pallas_lean
+
+    monkeypatch.setattr(pk, "_BLOCK_WINDOWS", 128)
+    rng = np.random.default_rng(11)
+    B, L = 8, 4096
+    k, w, slide = 5, 100, 6
+    assert pk.phase_plane_geometry(L, k, w, slide)[3] > 1
+    lens = rng.integers(300, L + 1, B).astype(np.int32)
+    tails = np.full((B, L), 0xFF, np.uint8)
+    for i in range(B):
+        tails[i, : lens[i]] = rng.integers(0, 4, lens[i])
+    table = jnp.asarray(pack_kmer_table(telophrase_kmers("CCCTAAA", k)))
+    pl_ = batching.pack_tails_phase_planar_lean(tails, k, w, slide)
+    y = step2_sum_signal_pallas_lean(
+        jnp.asarray(pl_), jnp.asarray(lens.reshape(-1, 1)), table,
+        k=k, K=14, window_size=w, slide=slide, L=L, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y),
+                                  _xla_signal(tails, table, k, w, slide))
+
+
+def test_model_pallas_sum_kind():
+    """use_pallas='sum' routes to the sum kernel on aperiodic tables
+    (bit-identical t/has to the XLA path) and degrades to 'greedy' on
+    tables with periodic entries (where the sum identity is invalid)."""
+    from topsicle_tpu.models import TelomereScanModel
+    from topsicle_tpu.models.telomere import resolve_pallas_kind
+
+    assert resolve_pallas_kind("sum") == "sum"
+    assert resolve_pallas_kind(True) == "greedy"
+    assert resolve_pallas_kind(False) is None
+    with pytest.raises(ValueError):
+        resolve_pallas_kind("bogus")
+
+    rng = np.random.default_rng(5)
+    kmers = telophrase_kmers("CCCTAAA", 5)     # fully aperiodic
+    m_sum = TelomereScanModel(kmers, window_size=100, slide=6,
+                              use_pallas="sum")
+    assert m_sum.pallas_kind == "sum" and m_sum.use_pallas
+    m_xla = TelomereScanModel(kmers, window_size=100, slide=6,
+                              use_pallas=False)
+
+    B, L = 8, 2048
+    codes = rng.integers(0, 5, (B, L)).astype(np.uint8)   # incl. some N
+    lens = rng.integers(150, L + 1, B).astype(np.int32)
+    for i in range(B):
+        codes[i, lens[i]:] = 0xFF
+    nw = batching.window_counts_for_lengths(lens, 100, 6)
+    t1, h1 = m_sum.step2_boundary(codes, nw, lens)        # dense wire
+    t2, h2 = m_xla.step2_boundary(codes, nw, lens)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(h1, h2)
+    clean = np.where(codes < 4, codes, 0).astype(np.uint8)
+    lens_full = np.full(B, L, np.int32)
+    nw_full = batching.window_counts_for_lengths(lens_full, 100, 6)
+    t3, h3 = m_sum.step2_boundary(clean, nw_full, lens_full)   # lean wire
+    t4, h4 = m_xla.step2_boundary(clean, nw_full, lens_full)
+    np.testing.assert_array_equal(t3, t4)
+    np.testing.assert_array_equal(h3, h4)
+
+    # mixed table (human CCCTAA k=5 has periodic entries) -> greedy
+    with pytest.warns(UserWarning, match="aperiodic"):
+        m_mixed = TelomereScanModel(telophrase_kmers("CCCTAA", 5),
+                                    window_size=100, slide=6,
+                                    use_pallas="sum")
+    assert m_mixed.pallas_kind == "greedy"
+
+
 def test_model_dispatches_lean_pallas():
     """TelomereScanModel with use_pallas picks the lean wire for clean
     batches and the dense wire when a read carries N — identical t/has."""

@@ -62,10 +62,11 @@ class TopsicleConfig:
     # new program, which dominated end-to-end time in round 1).
     scan_length_mode: str = "static"
     engine: str = "jax"          # "jax" (device path) or "oracle" (pure CPU)
-    # step-2 compute path: None => auto (XLA phase scan — measured
-    # faster than the fused Pallas kernel, which stays selectable) —
-    # models.telomere.resolve_use_pallas has the numbers
-    use_pallas: Optional[bool] = None
+    # step-2 compute path: None => auto (the XLA kernels); True/"greedy"
+    # => the fused greedy Pallas kernel; "sum" => the round-5 scan-free
+    # sum-signal Pallas kernel (aperiodic tables; falls back to greedy
+    # otherwise) — models.telomere.resolve_pallas_kind has the numbers
+    use_pallas: Optional[object] = None
     native_io: Optional[bool] = None   # None => auto (C++ loader if built)
     resume: bool = False         # skip (file, phrase) units completed per manifest
     trace_dir: Optional[str] = None    # jax.profiler trace output dir

@@ -230,14 +230,18 @@ def _step2_boundary_lean(tail_packed, lens, n_windows, table, *, k: int,
 def _step2_boundary_pallas(packed, invalid_bits, n_windows, table, *,
                            k: int, K: int, window_size: int, slide: int,
                            L: int, jump: int, min_size: int,
-                           interpret: bool = False):
+                           interpret: bool = False, mode: str = "greedy"):
     """Fused Pallas step-2: phase-planar packed tails -> (t, has).
 
     The window signal never round-trips HBM (ops/pallas_kernels.py);
-    only the tiny [B, W] y_int feeds the exact integer changepoint."""
-    from topsicle_tpu.ops.pallas_kernels import step2_signal_pallas
+    only the tiny [B, W] y_int feeds the exact integer changepoint.
+    mode="sum" selects the scan-free sum-signal kernel (exact for
+    aperiodic tables only — the model gates on kmers aperiodicity)."""
+    from topsicle_tpu.ops.pallas_kernels import (step2_signal_pallas,
+                                                 step2_sum_signal_pallas)
 
-    y_int = step2_signal_pallas(
+    sig = step2_sum_signal_pallas if mode == "sum" else step2_signal_pallas
+    y_int = sig(
         packed, invalid_bits, table, k=k, K=K, window_size=window_size,
         slide=slide, L=L, interpret=interpret,
     )
@@ -247,22 +251,49 @@ def _step2_boundary_pallas(packed, invalid_bits, n_windows, table, *,
 def _step2_boundary_pallas_lean(packed, lengths, n_windows, table, *,
                                 k: int, K: int, window_size: int, slide: int,
                                 L: int, jump: int, min_size: int,
-                                interpret: bool = False):
+                                interpret: bool = False, mode: str = "greedy"):
     """Lean-wire fused Pallas step-2 (2 bits/base, no invalid plane):
     the default for clean (pure-ACGT) batches — 1.5x less tunnel/PCIe
     traffic on the pipeline's dominant transfer."""
-    from topsicle_tpu.ops.pallas_kernels import step2_signal_pallas_lean
+    from topsicle_tpu.ops.pallas_kernels import (
+        step2_signal_pallas_lean, step2_sum_signal_pallas_lean)
 
-    y_int = step2_signal_pallas_lean(
+    sig = step2_sum_signal_pallas_lean if mode == "sum" \
+        else step2_signal_pallas_lean
+    y_int = sig(
         packed, lengths, table, k=k, K=K, window_size=window_size,
         slide=slide, L=L, interpret=interpret,
     )
     return ops.binseg_l2_device(y_int, n_windows, jump=jump, min_size=min_size)
 
 
-def resolve_use_pallas(requested: bool | None = None) -> bool:
-    """Pick the step-2 compute path.  Priority: explicit argument >
-    TOPSICLE_USE_PALLAS env var > auto (False: the XLA phase scan).
+def resolve_pallas_kind(requested=None) -> str | None:
+    """Which fused Pallas step-2 kernel to use, if any.  Returns None
+    (XLA paths — the default), "greedy" (the sequential-scan kernel,
+    exact for every table), or "sum" (the round-5 scan-free sum-signal
+    kernel — exact for APERIODIC tables only; the model falls back to
+    "greedy" with a warning on other tables).  Priority: explicit
+    argument (bool or kind string) > TOPSICLE_USE_PALLAS env var
+    ("sum" selects the sum kernel; "1"/"true"/"greedy" the greedy
+    one; "0"/"false"/"" none)."""
+    if requested is not None:
+        if isinstance(requested, str):
+            req = requested.strip().lower()
+        else:
+            req = "greedy" if requested else ""
+    else:
+        req = (os.environ.get("TOPSICLE_USE_PALLAS") or "").strip().lower()
+    if req in ("", "0", "false", "no"):
+        return None
+    if req == "sum":
+        return "sum"
+    if req in ("1", "true", "yes", "greedy"):
+        return "greedy"
+    raise ValueError(f"unknown Pallas kernel kind {requested!r}")
+
+
+def resolve_use_pallas(requested=None) -> bool:
+    """Back-compat boolean form of resolve_pallas_kind.
 
     All paths are production-wired and bit-identical; honest D2H-synced
     chained-loop measurements on TPU v5e (2026-08-20/21, B=128 x 20
@@ -274,20 +305,17 @@ def resolve_use_pallas(requested: bool | None = None) -> bool:
                               same-session)               tables)
         XLA lean phase scan   2.58 ms/iter = 992 Mbp/s   (periodic
                                                           tables)
-        fused Pallas kernel   3.65 ms/iter = 700 Mbp/s
+        greedy Pallas kernel  3.65 ms/iter = 700 Mbp/s
 
     The XLA paths also ship 1.23x fewer wire bytes (no phase-halo
     padding) and their first-call compile is an order of magnitude
-    cheaper on remote toolchains.  The Pallas kernel remains selectable
-    (TOPSICLE_USE_PALLAS=1 / use_pallas=True) and chip-verified
-    byte-identical on the demo; earlier round-1 numbers showing Pallas
-    ahead were dispatch-rate artifacts (see BASELINE.md methodology)."""
-    if requested is not None:
-        return bool(requested)
-    env = os.environ.get("TOPSICLE_USE_PALLAS")
-    if env is not None:
-        return env.strip().lower() not in ("", "0", "false", "no")
-    return False
+    cheaper on remote toolchains.  The Pallas kernels remain selectable
+    (TOPSICLE_USE_PALLAS=1|greedy|sum / use_pallas=...) and
+    chip-verified byte-identical on the demo; earlier round-1 numbers
+    showing Pallas ahead were dispatch-rate artifacts (BASELINE.md
+    methodology).  The round-5 'sum' kernel's chip numbers live in
+    BASELINE.md's per-strategy table."""
+    return resolve_pallas_kind(requested) is not None
 
 
 def resolve_window_strategy(requested: str | None = None, *,
@@ -407,7 +435,15 @@ class TelomereScanModel:
         self._split_idx = None
         if "split" in (self.window_strategy, self.greedy_strategy):
             self._split_idx = (np.nonzero(mask)[0], np.nonzero(~mask)[0])
-        self.use_pallas = resolve_use_pallas(use_pallas)
+        self.pallas_kind = resolve_pallas_kind(use_pallas)
+        if self.pallas_kind == "sum" and not self.aperiodic:
+            # the sum-signal kernel's greedy==occurrence identity only
+            # holds for aperiodic tables — degrade to the exact kernel
+            import warnings
+            warnings.warn("Pallas kernel 'sum' requires an aperiodic "
+                          "k-mer table; falling back to 'greedy'")
+            self.pallas_kind = "greedy"
+        self.use_pallas = self.pallas_kind is not None
         # On non-TPU backends an explicitly requested Pallas path runs in
         # interpret mode (correctness testing); Mosaic codegen is TPU-only.
         self._pallas_interpret = jax.default_backend() != "tpu"
@@ -450,6 +486,7 @@ class TelomereScanModel:
             ),
             name="rawcounts_lean",
         )
+        pallas_mode = self.pallas_kind or "greedy"
         self._step2_pallas = AotJit(
             functools.partial(
                 _step2_boundary_pallas,
@@ -460,9 +497,10 @@ class TelomereScanModel:
                 jump=jump,
                 min_size=min_size,
                 interpret=self._pallas_interpret,
+                mode=pallas_mode,
             ),
             static_argnames=("L",),
-            name="step2_pallas",
+            name=f"step2_pallas_{pallas_mode}",
         )
         self._step2_pallas_lean = AotJit(
             functools.partial(
@@ -474,9 +512,10 @@ class TelomereScanModel:
                 jump=jump,
                 min_size=min_size,
                 interpret=self._pallas_interpret,
+                mode=pallas_mode,
             ),
             static_argnames=("L",),
-            name="step2_pallas_lean",
+            name=f"step2_pallas_{pallas_mode}_lean",
         )
         self._step1_lean = AotJit(functools.partial(
             _step1_counts_lean, k=self.k, greedy=self.greedy_strategy,

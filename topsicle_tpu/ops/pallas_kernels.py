@@ -75,8 +75,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-_READS_PER_PROGRAM = 8  # sublane-dim tiling rule: blocks need 8 rows
-_BLOCK_WINDOWS = 1920   # windows per block (15 vregs wide, mult of 128)
+import os as _os
+
+# Grid tuning knobs (env-overridable for chip sweeps; defaults are the
+# shipped values).  R is the read-block height (sublane tiling wants a
+# multiple of 8); WB the windows per block (multi-block grids need a
+# multiple of 128).  Both change the wire format via
+# phase_plane_geometry, which host packer and kernel share — and the
+# lowered program text, so the AOT cache invalidates automatically.
+_READS_PER_PROGRAM = int(_os.environ.get("TOPSICLE_PALLAS_R", "8"))
+_BLOCK_WINDOWS = int(_os.environ.get("TOPSICLE_PALLAS_WB", "1920"))
 
 
 def _gcd(a, b):
@@ -201,8 +209,142 @@ def _signal_kernel(packed_ref, invalid_ref, table_ref, out_ref, *,
     out_ref[...] = jnp.sum(jnp.maximum(cnt, 1), axis=1)
 
 
+def _sum_signal_kernel(packed_ref, invalid_ref, table_ref, out_ref, *,
+                       k: int, K: int, slide: int, J: int, WB: int,
+                       n_outer: int, bq: int, lean: bool = False):
+    """Scan-free SUM-signal kernel (round 5): the VMEM-fused analog of
+    ops.match.boundary_sum_signal, valid for APERIODIC k-mer tables
+    (greedy == occurrence counting; callers gate, models.telomere).
+
+    Replaces the greedy offset scan of _signal_kernel with the identity
+      y[w] = sum_i max(c_i, 1) = windowed-SUM(total plane)
+                                 + K - popcount(windowed-OR(presence)),
+    so per phase only TWO [R, nq] planes exist (total matches + presence
+    bits) instead of K match planes, and the windowed reduction is
+    log2(~J/slide) doubling shift-adds per phase — no fori_loop, no
+    rotate, no loop-carried state.  Every op is a contiguous lane slice,
+    concat, compare, add, or static-constant multiply — the Mosaic-
+    lowerable subset established by _signal_kernel (the four walls in
+    the module docstring are all avoided the same way).  The XLA
+    formulation of this signal measures ~0.19-0.22 ms/iter at the
+    headline shape against a ~25 us perfect-fusion floor (BASELINE.md
+    roofline); this kernel is that missing single-HBM-round-trip form:
+    per grid step it reads the packed block once and writes [R, WB]
+    int32 once.
+
+    Window w (block-local) at offset j = q*slide + r reads plane r
+    entry w + q, so phase r contributes a width-n_r sliding reduction,
+    n_r = ceil((J - r)/slide); max source entry WB-1 + n_outer-1
+    <= nq-2, within the planes the packer ships (same geometry as the
+    greedy kernel).  Shift-left along lanes is slice + zero-concat;
+    entries poisoned by the zero fill are all >= WB and never read.
+
+    Exactness contract: bit-identical to boundary_sum_signal /
+    _window_counts_sliding_sum on the same padded batch
+    (property-tested in interpret mode), which are themselves tested
+    against the reference's windowed non-overlapping `re.finditer`
+    semantics (allsteps.py:221-224,279-291 in /root/reference)."""
+    R = _READS_PER_PROGRAM
+    nq = WB + n_outer
+    packed = packed_ref[...].astype(jnp.int32)         # [R, Pb//4]
+
+    # ---- planar unpack + phase planes (identical to _signal_kernel) ----
+    codes = jnp.concatenate([(packed >> (2 * s)) & 3 for s in range(4)], axis=1)
+    if lean:
+        lens = invalid_ref[...].astype(jnp.int32)      # [R, 1]
+        wb = pl.program_id(1)
+        base0 = wb * (WB * slide)
+        q_iota = jax.lax.broadcasted_iota(jnp.int32, (R, bq), 1)
+        planes = []
+        for r in range(slide):
+            raw = jax.lax.slice(codes, (0, r * bq), (R, (r + 1) * bq))
+            pos = base0 + q_iota * slide + r
+            bad = jnp.clip(pos - lens + 1, 0, 1)       # 1 iff pos >= len
+            planes.append(raw + bad * 4)
+    else:
+        iv = invalid_ref[...].astype(jnp.int32)        # [R, Pb//8]
+        invalid = jnp.concatenate([(iv >> s) & 1 for s in range(8)], axis=1)
+        codes = codes + invalid * 4    # invalid -> code >= 4 (poisons k-mers)
+        planes = [
+            jax.lax.slice(codes, (0, r * bq), (R, (r + 1) * bq))
+            for r in range(slide)
+        ]
+
+    # ---- per-phase rolling codes -> total + presence planes [R, nq] ----
+    tablev = table_ref[...].reshape(1, K, 1)
+    tot_r, word_r = [], []
+    for r in range(slide):
+        val = jnp.zeros((R, nq), jnp.int32)
+        bad = jnp.zeros((R, nq), jnp.int32)
+        for j in range(k):
+            rr, qq = (r + j) % slide, (r + j) // slide
+            sl = jax.lax.slice(planes[rr], (0, qq), (R, qq + nq))
+            val = val + sl * (4 ** j)
+            bad = bad | (sl >= 4).astype(jnp.int32)
+        eq = ((val.reshape(R, 1, nq) == tablev)
+              & (bad.reshape(R, 1, nq) == 0)).astype(jnp.int32)
+        tot_r.append(jnp.sum(eq, axis=1))              # matches at entry
+        # presence word: per-entry STATIC slice x static power-of-two
+        # multiply (disjoint bits = OR).  Both a captured weight
+        # constant and a broadcast-iota shift are off the table — the
+        # former trips pallas_call's no-captured-consts rule, the
+        # latter is the variable-amount vector shift family that once
+        # hung the toolchain (ops/match.py bitmask notes).
+        word = jnp.zeros((R, nq), jnp.int32)
+        for i in range(K):
+            word = word + jax.lax.slice(eq, (0, i, 0),
+                                        (R, i + 1, nq)).reshape(R, nq) * (1 << i)
+        word_r.append(word)
+
+    # ---- per-phase sliding reductions (doubling shift-adds) ----
+    def shl(x, n):
+        """Lanes left by n, zero-filled (length kept): slice + concat."""
+        if n == 0:
+            return x
+        z = jnp.zeros((R, n), jnp.int32)
+        return jnp.concatenate([jax.lax.slice(x, (0, n), (R, nq)), z], axis=1)
+
+    def swin(x, width, op):
+        pows = []
+        s = x
+        w = 1
+        while w <= width:
+            pows.append((w, s))
+            s = op(s, shl(s, w))
+            w *= 2
+        total = None
+        off = 0
+        for w, sw in pows:             # LSB-first binary decomposition
+            if width & w:
+                part = shl(sw, off)
+                total = part if total is None else op(total, part)
+                off += w
+        return total
+
+    S = None
+    O = None
+    for r in range(slide):
+        n_r = (J - r + slide - 1) // slide if r < J else 0
+        if n_r <= 0:
+            continue
+        sr = swin(tot_r[r], n_r, jnp.add)
+        orr = swin(word_r[r], n_r, jnp.bitwise_or)
+        S = sr if S is None else S + sr
+        O = orr if O is None else O | orr
+
+    Sw = jax.lax.slice(S, (0, 0), (R, WB))
+    Ow = jax.lax.slice(O, (0, 0), (R, WB)) & jnp.int32((1 << K) - 1)
+    # SWAR popcount (K <= 31 bits, value nonnegative): plain shifts/
+    # masks/one multiply — no dependence on a population_count lowering
+    v = Ow - ((Ow >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + (v >> 4)) & 0x0F0F0F0F
+    present = (v * jnp.int32(0x01010101)) >> 24   # byte-sum in the top byte
+    out_ref[...] = Sw + (K - present)
+
+
 def _signal_pallas_call(packed, aux, table, *, k, K, window_size, slide, L,
-                        interpret, lean):
+                        interpret, lean, mode="greedy"):
     B = packed.shape[0]
     J, W, WB, nWB, n_outer, bq = phase_plane_geometry(L, k, window_size, slide)
     if W == 0 or J <= 0:
@@ -221,9 +363,12 @@ def _signal_pallas_call(packed, aux, table, *, k, K, window_size, slide, L,
     R = _READS_PER_PROGRAM
     if B % R:
         raise ValueError(f"pallas step2 requires batch divisible by {R}")
+    if mode == "sum" and K > 31:
+        raise ValueError("sum-signal kernel holds at most 31 presence bits")
 
+    body = _sum_signal_kernel if mode == "sum" else _signal_kernel
     kernel = functools.partial(
-        _signal_kernel, k=k, K=K, slide=slide, J=J, WB=WB,
+        body, k=k, K=K, slide=slide, J=J, WB=WB,
         n_outer=n_outer, bq=bq, lean=lean,
     )
     aux_spec = (
@@ -292,3 +437,33 @@ def step2_signal_pallas_lean(packed, lengths, table, *, k: int, K: int,
     return _signal_pallas_call(
         packed, lengths, table, k=k, K=K, window_size=window_size,
         slide=slide, L=L, interpret=interpret, lean=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "K", "window_size", "slide", "L", "interpret"),
+)
+def step2_sum_signal_pallas(packed, invalid_bits, table, *, k: int, K: int,
+                            window_size: int, slide: int, L: int,
+                            interpret: bool = False):
+    """Fused scan-free SUM-signal kernel (see _sum_signal_kernel) on the
+    dense phase-planar wire.  EXACT ONLY for aperiodic k-mer tables —
+    callers gate on kmers.all_aperiodic (models.telomere does).
+    Bit-identical to step2_signal_pallas there (property-tested)."""
+    return _signal_pallas_call(
+        packed, invalid_bits, table, k=k, K=K, window_size=window_size,
+        slide=slide, L=L, interpret=interpret, lean=False, mode="sum")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "K", "window_size", "slide", "L", "interpret"),
+)
+def step2_sum_signal_pallas_lean(packed, lengths, table, *, k: int, K: int,
+                                 window_size: int, slide: int, L: int,
+                                 interpret: bool = False):
+    """Lean-wire (2 bits/base + lengths) variant of
+    step2_sum_signal_pallas — the production wire for clean batches."""
+    return _signal_pallas_call(
+        packed, lengths, table, k=k, K=K, window_size=window_size,
+        slide=slide, L=L, interpret=interpret, lean=True, mode="sum")
