@@ -255,6 +255,16 @@ def test_model_pallas_sum_kind():
                                     use_pallas="sum")
     assert m_mixed.pallas_kind == "greedy"
 
+    # duplicate codes (ATAT k=2: origin {AT, TA} == its complement set,
+    # fully aperiodic) break the kernel's any-match == word!=0 identity
+    # — must also degrade to greedy (the XLA sum path counts each
+    # duplicate entry separately and stays valid)
+    with pytest.warns(UserWarning, match="duplicate"):
+        m_dup = TelomereScanModel(telophrase_kmers("ATAT", 2),
+                                  window_size=100, slide=6,
+                                  use_pallas="sum")
+    assert m_dup.pallas_kind == "greedy"
+
 
 def test_model_dispatches_lean_pallas():
     """TelomereScanModel with use_pallas picks the lean wire for clean

@@ -436,18 +436,29 @@ class TelomereScanModel:
         if "split" in (self.window_strategy, self.greedy_strategy):
             self._split_idx = (np.nonzero(mask)[0], np.nonzero(~mask)[0])
         self.pallas_kind = resolve_pallas_kind(use_pallas)
-        if self.pallas_kind == "sum" and not self.aperiodic:
+        packed_table = pack_kmer_table(self.kmers)
+        if self.pallas_kind == "sum" and not (
+                self.aperiodic
+                # the kernel's any-match == (word != 0) identity needs
+                # mutually-exclusive matches, i.e. distinct codes: a
+                # duplicate entry (origin list meeting its own
+                # complement list) must count twice per match, which
+                # boundary_sum_signal's per-entry planes do and the
+                # fused word cannot
+                and len(set(packed_table.tolist())) == len(packed_table)):
             # the sum-signal kernel's greedy==occurrence identity only
-            # holds for aperiodic tables — degrade to the exact kernel
+            # holds for aperiodic, duplicate-free tables — degrade to
+            # the exact kernel
             import warnings
             warnings.warn("Pallas kernel 'sum' requires an aperiodic "
-                          "k-mer table; falling back to 'greedy'")
+                          "duplicate-free k-mer table; falling back to "
+                          "'greedy'")
             self.pallas_kind = "greedy"
         self.use_pallas = self.pallas_kind is not None
         # On non-TPU backends an explicitly requested Pallas path runs in
         # interpret mode (correctness testing); Mosaic codegen is TPU-only.
         self._pallas_interpret = jax.default_backend() != "tpu"
-        self.table = jnp.asarray(pack_kmer_table(self.kmers))
+        self.table = jnp.asarray(packed_table)
 
         # AotJit = jax.jit + a cross-process serialized-executable cache
         # (utils/aot_cache.py): on remote-compile TPU deployments the

@@ -85,6 +85,17 @@ import os as _os
 # lowered program text, so the AOT cache invalidates automatically.
 _READS_PER_PROGRAM = int(_os.environ.get("TOPSICLE_PALLAS_R", "8"))
 _BLOCK_WINDOWS = int(_os.environ.get("TOPSICLE_PALLAS_WB", "1920"))
+# Sum-kernel read-block height.  Chip sweep (2026-08-21, signal-only,
+# B=128 x 20 kbp, same-session XLA 0.218-0.222 ms/iter): R=8 -> 0.148,
+# R=16 -> 0.094, R=32 -> 0.077, R=64 -> 0.066 ms/iter; R=128 OOMs
+# scoped VMEM (20.56M > 16M).  WB=3456 (single window block) measured
+# WORSE at every R (0.113 at R=32).  Auto-clamped per batch to a
+# divisor of B (halving keeps it a multiple of 8).
+_SUM_READS = int(_os.environ.get("TOPSICLE_PALLAS_SUM_R", "64"))
+# int16 sliding-reduce planes in the sum kernel (compares stay int32 —
+# Mosaic/v5e rejects i16 vector compares; see _sum_signal_kernel)
+_SUM16 = _os.environ.get("TOPSICLE_PALLAS_SUM16", "1").strip().lower() \
+    not in ("", "0", "false", "no")
 
 
 def _gcd(a, b):
@@ -135,8 +146,8 @@ def phase_plane_geometry(L: int, k: int, window_size: int, slide: int):
 
 def _signal_kernel(packed_ref, invalid_ref, table_ref, out_ref, *,
                    k: int, K: int, slide: int, J: int, WB: int,
-                   n_outer: int, bq: int, lean: bool = False):
-    R = _READS_PER_PROGRAM
+                   n_outer: int, bq: int, lean: bool = False,
+                   R: int = _READS_PER_PROGRAM):
     nq = WB + n_outer              # match-plane entries this block needs
     packed = packed_ref[...].astype(jnp.int32)         # [R, Pb//4]
 
@@ -211,26 +222,45 @@ def _signal_kernel(packed_ref, invalid_ref, table_ref, out_ref, *,
 
 def _sum_signal_kernel(packed_ref, invalid_ref, table_ref, out_ref, *,
                        k: int, K: int, slide: int, J: int, WB: int,
-                       n_outer: int, bq: int, lean: bool = False):
+                       n_outer: int, bq: int, lean: bool = False,
+                       R: int = _SUM_READS):
     """Scan-free SUM-signal kernel (round 5): the VMEM-fused analog of
-    ops.match.boundary_sum_signal, valid for APERIODIC k-mer tables
-    (greedy == occurrence counting; callers gate, models.telomere).
+    ops.match.boundary_sum_signal, valid for APERIODIC, duplicate-free
+    k-mer tables (greedy == occurrence counting; callers gate,
+    models.telomere).
 
-    Replaces the greedy offset scan of _signal_kernel with the identity
-      y[w] = sum_i max(c_i, 1) = windowed-SUM(total plane)
-                                 + K - popcount(windowed-OR(presence)),
-    so per phase only TWO [R, nq] planes exist (total matches + presence
-    bits) instead of K match planes, and the windowed reduction is
-    log2(~J/slide) doubling shift-adds per phase — no fori_loop, no
-    rotate, no loop-carried state.  Every op is a contiguous lane slice,
-    concat, compare, add, or static-constant multiply — the Mosaic-
-    lowerable subset established by _signal_kernel (the four walls in
-    the module docstring are all avoided the same way).  The XLA
-    formulation of this signal measures ~0.19-0.22 ms/iter at the
-    headline shape against a ~25 us perfect-fusion floor (BASELINE.md
-    roofline); this kernel is that missing single-HBM-round-trip form:
-    per grid step it reads the packed block once and writes [R, WB]
-    int32 once.
+    Identity:  y[w] = sum_i max(c_i, 1)
+                    = windowed-SUM(any-match plane)
+                      + K - popcount(windowed-OR(presence-bit plane)),
+    using that distinct rolling codes make matches mutually exclusive
+    per position (any-match == word != 0).  Per phase only TWO [R, nq]
+    2D planes exist, and the windowed reduction is log2(~J/slide)
+    doubling shift-adds per phase — no fori_loop, no rotate, no
+    loop-carried state.
+
+    The v1 formulation of this kernel (3D [R, K, nq] eq tensor,
+    per-entry 3D slices, int32 everywhere) measured 0.356-0.577 ms/iter
+    on chip vs 0.161-0.221 for the XLA sum path same-session — it was
+    VPU-INSTRUCTION-bound, and the 3D sublane extractions plus 32-bit
+    lanes capped throughput at ~half of XLA's int16 schedule (grid
+    sweeps R=8/32 x WB=1920/3456 moved nothing: not a grid/DMA
+    problem).  v2 therefore:
+      - stays strictly 2D ([R, nq] planes; no [R, K, nq] tensor);
+      - reads table entries as SMEM SCALARS (per-entry broadcast
+        compare, no sublane relayout);
+      - encodes rolling codes in BASE 5 with invalid bases clipped to
+        digit 4: valid table codes contain no digit 4, so invalidity
+        needs NO separate bad-plane (base-4 digit aliasing — 4*4^j ==
+        4^(j+1) — is what forced v1's bad tracking; base 5 is a proper
+        positional system for digits 0..4).  The caller converts the
+        table to base 5 (still -1 for non-ACGT entries, which then
+        never match, same as every other path);
+      - optionally (TOPSICLE_PALLAS_SUM16, default on) runs the
+        sliding-reduce planes in int16 — 2x lanes per instruction
+        there.  The COMPARE stage must stay int32: Mosaic on v5e
+        rejects i16 vector compares outright ("Target does not support
+        this comparison", arith.cmpi on vector<8x128x2xi16>, observed
+        2026-08-21) — the wall that killed an all-int16 formulation.
 
     Window w (block-local) at offset j = q*slide + r reads plane r
     entry w + q, so phase r contributes a width-n_r sliding reduction,
@@ -244,11 +274,15 @@ def _sum_signal_kernel(packed_ref, invalid_ref, table_ref, out_ref, *,
     (property-tested in interpret mode), which are themselves tested
     against the reference's windowed non-overlapping `re.finditer`
     semantics (allsteps.py:221-224,279-291 in /root/reference)."""
-    R = _READS_PER_PROGRAM
     nq = WB + n_outer
-    packed = packed_ref[...].astype(jnp.int32)         # [R, Pb//4]
+    vdt = jnp.int32                 # compare stage: int32 only (see above)
+    # sliding-reduce dtype: int16 halves instruction count when the
+    # presence word fits 15 bits (adds/ors on i16 vectors lower fine;
+    # only compares do not)
+    wdt = jnp.int16 if (K <= 15 and _SUM16) else jnp.int32
+    packed = packed_ref[...].astype(jnp.int32)            # [R, Pb//4]
 
-    # ---- planar unpack + phase planes (identical to _signal_kernel) ----
+    # ---- planar unpack + phase planes, invalid clipped to digit 4 ----
     codes = jnp.concatenate([(packed >> (2 * s)) & 3 for s in range(4)], axis=1)
     if lean:
         lens = invalid_ref[...].astype(jnp.int32)      # [R, 1]
@@ -260,63 +294,37 @@ def _sum_signal_kernel(packed_ref, invalid_ref, table_ref, out_ref, *,
             raw = jax.lax.slice(codes, (0, r * bq), (R, (r + 1) * bq))
             pos = base0 + q_iota * slide + r
             bad = jnp.clip(pos - lens + 1, 0, 1)       # 1 iff pos >= len
-            planes.append(raw + bad * 4)
+            planes.append((raw + bad * 4 - raw * bad).astype(vdt))  # bad->4
     else:
         iv = invalid_ref[...].astype(jnp.int32)        # [R, Pb//8]
         invalid = jnp.concatenate([(iv >> s) & 1 for s in range(8)], axis=1)
-        codes = codes + invalid * 4    # invalid -> code >= 4 (poisons k-mers)
+        codes = jnp.minimum(codes + invalid * 4, 4)    # invalid -> digit 4
         planes = [
-            jax.lax.slice(codes, (0, r * bq), (R, (r + 1) * bq))
+            jax.lax.slice(codes, (0, r * bq), (R, (r + 1) * bq)).astype(vdt)
             for r in range(slide)
         ]
 
-    # ---- per-phase rolling codes -> total + presence planes [R, nq] ----
-    tablev = table_ref[...].reshape(1, K, 1)
-    tot_r, word_r = [], []
-    for r in range(slide):
-        val = jnp.zeros((R, nq), jnp.int32)
-        bad = jnp.zeros((R, nq), jnp.int32)
-        for j in range(k):
-            rr, qq = (r + j) % slide, (r + j) // slide
-            sl = jax.lax.slice(planes[rr], (0, qq), (R, qq + nq))
-            val = val + sl * (4 ** j)
-            bad = bad | (sl >= 4).astype(jnp.int32)
-        eq = ((val.reshape(R, 1, nq) == tablev)
-              & (bad.reshape(R, 1, nq) == 0)).astype(jnp.int32)
-        tot_r.append(jnp.sum(eq, axis=1))              # matches at entry
-        # presence word: per-entry STATIC slice x static power-of-two
-        # multiply (disjoint bits = OR).  Both a captured weight
-        # constant and a broadcast-iota shift are off the table — the
-        # former trips pallas_call's no-captured-consts rule, the
-        # latter is the variable-amount vector shift family that once
-        # hung the toolchain (ops/match.py bitmask notes).
-        word = jnp.zeros((R, nq), jnp.int32)
-        for i in range(K):
-            word = word + jax.lax.slice(eq, (0, i, 0),
-                                        (R, i + 1, nq)).reshape(R, nq) * (1 << i)
-        word_r.append(word)
-
-    # ---- per-phase sliding reductions (doubling shift-adds) ----
-    def shl(x, n):
+    # ---- per-phase base-5 rolling codes -> any-match + word planes ----
+    def shl(x, n, dt):
         """Lanes left by n, zero-filled (length kept): slice + concat."""
         if n == 0:
             return x
-        z = jnp.zeros((R, n), jnp.int32)
+        z = jnp.zeros((R, n), dt)
         return jnp.concatenate([jax.lax.slice(x, (0, n), (R, nq)), z], axis=1)
 
-    def swin(x, width, op):
+    def swin(x, width, op, dt):
         pows = []
         s = x
         w = 1
         while w <= width:
             pows.append((w, s))
-            s = op(s, shl(s, w))
+            s = op(s, shl(s, w, dt))
             w *= 2
         total = None
         off = 0
         for w, sw in pows:             # LSB-first binary decomposition
             if width & w:
-                part = shl(sw, off)
+                part = shl(sw, off, dt)
                 total = part if total is None else op(total, part)
                 off += w
         return total
@@ -327,13 +335,26 @@ def _sum_signal_kernel(packed_ref, invalid_ref, table_ref, out_ref, *,
         n_r = (J - r + slide - 1) // slide if r < J else 0
         if n_r <= 0:
             continue
-        sr = swin(tot_r[r], n_r, jnp.add)
-        orr = swin(word_r[r], n_r, jnp.bitwise_or)
+        val = None
+        for j in range(k):
+            rr, qq = (r + j) % slide, (r + j) // slide
+            sl = jax.lax.slice(planes[rr], (0, qq), (R, qq + nq))
+            term = sl * vdt(5 ** j) if j else sl
+            val = term if val is None else val + term
+        word32 = jnp.zeros((R, nq), jnp.int32)
+        for i in range(K):
+            eq = val == table_ref[i]                   # SMEM scalar read
+            word32 = word32 | jnp.where(eq, jnp.int32(1 << i), jnp.int32(0))
+        word = word32.astype(wdt)
+        tot = (word32 != 0).astype(wdt)                # distinct codes:
+        sr = swin(tot, n_r, jnp.add, wdt)              # <=1 match/position
+        orr = swin(word, n_r, jnp.bitwise_or, wdt)
         S = sr if S is None else S + sr
         O = orr if O is None else O | orr
 
-    Sw = jax.lax.slice(S, (0, 0), (R, WB))
-    Ow = jax.lax.slice(O, (0, 0), (R, WB)) & jnp.int32((1 << K) - 1)
+    Sw = jax.lax.slice(S, (0, 0), (R, WB)).astype(jnp.int32)
+    Ow = jax.lax.slice(O, (0, 0), (R, WB)).astype(jnp.int32) \
+        & jnp.int32((1 << K) - 1)
     # SWAR popcount (K <= 31 bits, value nonnegative): plain shifts/
     # masks/one multiply — no dependence on a population_count lowering
     v = Ow - ((Ow >> 1) & 0x55555555)
@@ -360,16 +381,37 @@ def _signal_pallas_call(packed, aux, table, *, k, K, window_size, slide, L,
             f"invalid-plane shape {aux.shape} does not match geometry "
             f"for L={L} (expect [B,{nWB * (Pb // 8)}])"
         )
-    R = _READS_PER_PROGRAM
+    # Read-block height: the sum kernel's 2D planes are cheap enough to
+    # run R=64 (measured fastest — header comment); the greedy kernel's
+    # [R, K, nq] planes keep R=8.  Clamp by halving to a divisor of B
+    # (every halving of a multiple of 8 >= 16 stays a multiple of 8).
+    R = _SUM_READS if mode == "sum" else _READS_PER_PROGRAM
+    while R > 8 and (B % R or R > B):
+        R //= 2
     if B % R:
         raise ValueError(f"pallas step2 requires batch divisible by {R}")
     if mode == "sum" and K > 31:
         raise ValueError("sum-signal kernel holds at most 31 presence bits")
 
+    if mode == "sum":
+        # base-5 recode of the rolling-code table (kernel docstring: a
+        # proper positional system for digits 0..4 lets digit 4 mark
+        # invalid bases with no aliasing and no bad-plane); -1 entries
+        # (non-ACGT k-mers) stay -1 and never match.  Traced, [K]-tiny.
+        t5 = jnp.zeros_like(table)
+        for j in range(k):
+            t5 = t5 + ((table >> (2 * j)) & 3) * (5 ** j)
+        table = jnp.where(table < 0, jnp.int32(-1), t5)
+        table_spec = pl.BlockSpec((K,), lambda i, wb: (0,),
+                                  memory_space=pltpu.SMEM)
+    else:
+        table_spec = pl.BlockSpec((K,), lambda i, wb: (0,),
+                                  memory_space=pltpu.VMEM)
+
     body = _sum_signal_kernel if mode == "sum" else _signal_kernel
     kernel = functools.partial(
         body, k=k, K=K, slide=slide, J=J, WB=WB,
-        n_outer=n_outer, bq=bq, lean=lean,
+        n_outer=n_outer, bq=bq, lean=lean, R=R,
     )
     aux_spec = (
         pl.BlockSpec((R, 1), lambda i, wb: (i, 0), memory_space=pltpu.VMEM)
@@ -388,8 +430,7 @@ def _signal_pallas_call(packed, aux, table, *, k, K, window_size, slide, L,
                 pl.BlockSpec((R, Pb // 4), lambda i, wb: (i, wb),
                              memory_space=pltpu.VMEM),
                 aux_spec,
-                pl.BlockSpec((K,), lambda i, wb: (0,),
-                             memory_space=pltpu.VMEM),
+                table_spec,
             ],
             out_specs=pl.BlockSpec((R, WB), lambda i, wb: (i, wb),
                                    memory_space=pltpu.VMEM),
