@@ -170,7 +170,9 @@ def _step2_boundary(tail_packed, tail_invalid, n_windows, table, *, k: int,
                                window_size=window_size, slide=slide,
                                strategy=strategy)
         y_int = jnp.maximum(counts, 1).sum(axis=1)  # [B, W] sum over K
-    t, has = ops.binseg_l2_device(y_int, n_windows, jump=jump, min_size=min_size)
+    t, has = ops.binseg_l2_device(y_int, n_windows, jump=jump,
+                                  min_size=min_size,
+                                  y_max=int(table.shape[0]) * window_size)
     return t, has
 
 
@@ -223,7 +225,9 @@ def _step2_boundary_lean(tail_packed, lens, n_windows, table, *, k: int,
                                     window_size=window_size, slide=slide,
                                     strategy=strategy)
         y_int = jnp.maximum(counts, 1).sum(axis=1)
-    t, has = ops.binseg_l2_device(y_int, n_windows, jump=jump, min_size=min_size)
+    t, has = ops.binseg_l2_device(y_int, n_windows, jump=jump,
+                                  min_size=min_size,
+                                  y_max=int(table.shape[0]) * window_size)
     return t, has
 
 
@@ -245,7 +249,8 @@ def _step2_boundary_pallas(packed, invalid_bits, n_windows, table, *,
         packed, invalid_bits, table, k=k, K=K, window_size=window_size,
         slide=slide, L=L, interpret=interpret,
     )
-    return ops.binseg_l2_device(y_int, n_windows, jump=jump, min_size=min_size)
+    return ops.binseg_l2_device(y_int, n_windows, jump=jump,
+                                min_size=min_size, y_max=K * window_size)
 
 
 def _step2_boundary_pallas_lean(packed, lengths, n_windows, table, *,
@@ -264,7 +269,8 @@ def _step2_boundary_pallas_lean(packed, lengths, n_windows, table, *,
         packed, lengths, table, k=k, K=K, window_size=window_size,
         slide=slide, L=L, interpret=interpret,
     )
-    return ops.binseg_l2_device(y_int, n_windows, jump=jump, min_size=min_size)
+    return ops.binseg_l2_device(y_int, n_windows, jump=jump,
+                                min_size=min_size, y_max=K * window_size)
 
 
 def resolve_pallas_kind(requested=None) -> str | None:

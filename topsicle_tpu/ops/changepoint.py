@@ -121,11 +121,20 @@ def _pick(c1, c2, mul):
     return (sq, pick(d1, d2), pick(t1, t2), v1 | v2)
 
 
-def binseg_l2_device(y_int, num_windows, jump: int = 5, min_size: int = 2):
+def binseg_l2_device(y_int, num_windows, jump: int = 5, min_size: int = 2,
+                     y_max: int | None = None):
     """Exact argmax changepoint per batch row.
 
     y_int:        [B, W] integer window signal (any integer dtype)
     num_windows:  [B] valid-window count n per read (ragged batches)
+    y_max:        optional static bound on y_int values; when
+                  W * y_max fits int32 the full-width cumsum — the
+                  only [B, W]-sized term here — runs in NATIVE int32
+                  instead of emulated int64 (TPU int64 is 2x32 limb
+                  emulation; the downstream A/D arithmetic is [B, J]
+                  = W/jump-sized and stays int64).  Callers with a
+                  known signal cap (the window scan: y <= K*(J+1))
+                  pass it; exactness is unaffected either way.
     Returns (t [B] int64, has_candidate [B] bool); t is the left-segment
     length in windows (boundary bp = trimfirst + slide*t downstream).
     """
@@ -134,16 +143,19 @@ def binseg_l2_device(y_int, num_windows, jump: int = 5, min_size: int = 2):
     # (A jump-block variant — reshape [B, J, jump].sum(-1) + short
     # cumsum — measured 2.6x SLOWER: the width-jump minor axis uses 5
     # of 128 lanes.  Keep the lane-friendly full-width form.)
-    S = jnp.cumsum(y_int.astype(jnp.int64), axis=1)
+    if y_max is not None and W * y_max <= 0x7FFFFFFF:
+        S = jnp.cumsum(y_int.astype(jnp.int32), axis=1)
+    else:
+        S = jnp.cumsum(y_int.astype(jnp.int64), axis=1)
     n32 = num_windows.astype(jnp.int32)
     n = num_windows.astype(jnp.int64)[:, None]                      # [B,1]
-    Sn = jnp.take_along_axis(S, jnp.maximum(n32 - 1, 0)[:, None].astype(jnp.int64), axis=1)  # [B,1]
+    Sn = jnp.take_along_axis(S, jnp.maximum(n32 - 1, 0)[:, None].astype(S.dtype), axis=1).astype(jnp.int64)  # [B,1]
 
     J = W // jump
     if J < 1:
         return jnp.zeros((B,), jnp.int64), jnp.zeros((B,), bool)
     t_np = np.arange(1, J + 1, dtype=np.int64) * jump               # static candidates
-    St = S[:, t_np - 1]                                             # [B,J]
+    St = S[:, t_np - 1].astype(jnp.int64)                           # [B,J]
     t = jnp.asarray(t_np)[None, :]                                  # [1,J]
     A = n * St - t * Sn
     D = t * (n - t)
