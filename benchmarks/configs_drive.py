@@ -84,7 +84,7 @@ def make_cohort(dirname, n_files, reads_per_file, pattern, *, mean_len,
 
 
 def make_cohort_fast(dirname, n_files, reads_per_file, pattern, *,
-                     mean_len, seed, gz_level=2):
+                     mean_len, seed, gz_level=2, telo_frac=0.8):
     """Byte-vectorized cohort generator for whole-genome-scale drives
     (config 2): same read mix as make_cohort but ~50x faster (uint8
     arrays end-to-end, no per-char Python), gzip level 2."""
@@ -105,12 +105,12 @@ def make_cohort_fast(dirname, n_files, reads_per_file, pattern, *,
                 L = int(np.clip(rng.normal(mean_len, mean_len / 4), 9100, 60000))
                 seq = B[rng.integers(0, 4, L)]
                 kind = rng.random()
-                if kind < 0.8:
+                if kind < telo_frac:
                     tl = int(rng.integers(800, 6000))
                     tract = np.tile(pat, tl // len(pat) + 2)[:tl].copy()
                     noise = rng.random(tl) < 0.04
                     tract[noise] = B[rng.integers(0, 4, int(noise.sum()))]
-                    if kind < 0.6:
+                    if kind < telo_frac * 0.75:
                         seq[:tl] = tract
                     else:
                         seq[L - tl:] = comp[tract][::-1]
@@ -156,7 +156,7 @@ def _run_cli(argv, poll_outdir=None, kill_after_rows=None):
     return wall, ru.ru_maxrss / 1024.0, rc, killed_at
 
 
-def drive_config2(n_reads, record):
+def drive_config2(n_reads, record, telo_frac=0.8, key="config2"):
     """BASELINE config 2: 'A. thaliana whole-genome ONT run, single k
     (telophrase=5), windowSize=100 slide=7' at the reference's
     documented operating scale (README.md:266-270 prescribes >1 Gbp
@@ -170,7 +170,8 @@ def drive_config2(n_reads, record):
     n_files = 4
     t0 = time.time()
     total_bp = make_cohort_fast(indir, n_files, n_reads // n_files,
-                                "CCCTAAA", mean_len=20000, seed=22)
+                                "CCCTAAA", mean_len=20000, seed=22,
+                                telo_frac=telo_frac)
     gen_s = time.time() - t0
     gz_mb = sum(os.path.getsize(os.path.join(indir, f))
                 for f in os.listdir(indir)) / 1e6
@@ -196,8 +197,9 @@ def drive_config2(n_reads, record):
 
     rows = open(os.path.join(out_a, "telolengths_all.csv"),
                 "rb").read().count(b"\n") - 1
-    record["config2"] = {
+    record[key] = {
         "pattern": "CCCTAAA", "telophrase": 5, "slide": 7,
+        "telo_frac": telo_frac,
         "files": n_files, "reads": n_reads,
         "total_mbp": round(total_bp / 1e6, 1),
         "gz_mb": round(gz_mb, 1), "gen_s": round(gen_s, 1),
@@ -232,13 +234,16 @@ def drive_config3_cutoff_grid(n_reads, record):
     ot, orows = run_engine("oracle", indir, os.path.join(tmp, "o"), **kw)
     mismatch = diff_outputs(os.path.join(tmp, "j"), os.path.join(tmp, "o"))
     # the log's aggregate lines (inputtrc = cutoff[0] anchoring) must
-    # also agree — they are where the cutoff-list semantics surface
-    la = [l.split("] ")[-1] for l in
-          open(os.path.join(tmp, "j", "topsicle_run.log")).read().splitlines()
-          if "cutoff" in l or "Median" in l]
-    lo = [l.split("] ")[-1] for l in
-          open(os.path.join(tmp, "o", "topsicle_run.log")).read().splitlines()
-          if "cutoff" in l or "Median" in l]
+    # also agree — they are where the cutoff-list semantics surface.
+    # Only the AGGREGATE lines: the engines differ in per-file progress
+    # chatter ("subsetting raw dataset..." is Jax-engine-only)
+    def _agg(d):
+        return [l.split("] ")[-1] for l in
+                open(os.path.join(tmp, d, "topsicle_run.log")
+                     ).read().splitlines()
+                if "asymptotic TRC" in l or "Median telomere length" in l]
+
+    la, lo = _agg("j"), _agg("o")
     record["config3_cutoff_grid"] = {
         "cutoff": [0.7, 0.8, 0.9], "reads": n_reads,
         "total_mbp": round(total_bp / 1e6, 1), "rows": jrows,
@@ -422,7 +427,7 @@ def drive_config4(n_reads, record):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("which", nargs="?", default="all",
-                    choices=["config2", "config3", "config3grid", "config4",
+                    choices=["config2", "config2real", "config3", "config3grid", "config4",
                              "config5", "all"])
     ap.add_argument("--reads", type=int, default=240)
     ap.add_argument("--out", default=None)
@@ -437,6 +442,17 @@ def main():
         n = args.reads if args.reads != 240 else 52000
         ok &= drive_config2(n, record)
         print(json.dumps({"config2": record["config2"]}), flush=True)
+    if args.which == "config2real":
+        # realistic whole-genome mix: ~5% of reads carry a telomere
+        # (a genome has 2 telomeres per chromosome vs thousands of
+        # reads) — the sustained-rate record the reference's >20 GB /
+        # 24 h guidance actually describes
+        n = args.reads if args.reads != 240 else 52000
+        ok &= drive_config2(n, record, telo_frac=0.05,
+                            key="config2_realistic_mix")
+        print(json.dumps(
+            {"config2_realistic_mix": record["config2_realistic_mix"]}),
+            flush=True)
     if args.which in ("config3", "all"):
         ok &= drive_config3(args.reads, record)
         print(json.dumps({"config3": record["config3"]}), flush=True)

@@ -134,7 +134,15 @@ class JaxEngine:
                 slide=self.cfg.slide_value(),
                 use_pallas=self.cfg.use_pallas,
             )
-            n_dev = len(jax.devices())
+            # In files mode each process computes its own files on its
+            # own chips: the shard mesh must span only ADDRESSABLE
+            # devices (a global mesh would emit arrays this process
+            # cannot fetch — the GSPMD global mesh belongs to
+            # --shardMode global / GlobalScanModel).  Single-process
+            # runs shard over everything visible, as before.
+            devs = jax.local_devices() if jax.process_count() > 1 \
+                else jax.devices()
+            n_dev = len(devs)
             if n_dev > 1:
                 from topsicle_tpu.parallel import ShardedScanModel, data_mesh
 
@@ -145,7 +153,7 @@ class JaxEngine:
                 if B % n_dev:
                     B += n_dev - B % n_dev
                 self._device_batch = B
-                model = ShardedScanModel(model, mesh=data_mesh(n_dev))
+                model = ShardedScanModel(model, mesh=data_mesh(devices=devs))
             self._warmup(model)
             self._models[phrase] = model
         return self._models[phrase]
