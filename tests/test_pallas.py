@@ -266,6 +266,46 @@ def test_model_pallas_sum_kind():
     assert m_dup.pallas_kind == "greedy"
 
 
+@pytest.mark.parametrize("k,w,slide", [
+    (4, 64, 3),     # small window, slide < k
+    (5, 100, 1),    # slide=1: a single phase plane, n_outer = J
+    (6, 80, 7),     # slide > k
+    (7, 120, 7),    # 5**7 > int16: the int32 val-plane path
+])
+def test_pallas_sum_signal_geometry_sweep(k, w, slide):
+    """The sum kernel across the geometry space (phase counts, halo
+    arithmetic, val dtype selection) — bit-identical to the XLA sum
+    signal on dirty batches.  The shipped defaults only exercise
+    k=5/w=100/slide=6."""
+    from topsicle_tpu.ops.pallas_kernels import step2_sum_signal_pallas
+
+    rng = np.random.default_rng(k * 100 + slide)
+    B, L = 8, 1536
+    tails = rng.integers(0, 6, (B, L)).astype(np.uint8)
+    # synthetic aperiodic-ish table: random distinct k-mers, keep only
+    # aperiodic ones (the identity the kernel needs), pad via distinct
+    # extras; exactness vs the occurrence-count XLA path holds for ANY
+    # table (both count plain occurrences) — aperiodicity only matters
+    # for greedy parity, which the XLA sum path itself assumes
+    kmers = set()
+    while len(kmers) < 10:
+        kmers.add("".join(rng.choice(list("ACGT"), k)))
+    kmers = sorted(kmers)
+    table = jnp.asarray(pack_kmer_table(kmers))
+    K = len(kmers)
+
+    p, m = batching.pack_tails_phase_planar(tails, k, w, slide)
+    y = step2_sum_signal_pallas(jnp.asarray(p), jnp.asarray(m), table,
+                                k=k, K=K, window_size=w, slide=slide, L=L,
+                                interpret=True)
+    # XLA occurrence-count signal (strategy 'sum')
+    pb, mb = batching.pack_batch(tails)
+    codes = ops.unpack_codes(jnp.asarray(pb), jnp.asarray(mb), L)
+    W = (L - w) // slide + 1
+    y_ref = np.asarray(ops.boundary_sum_signal(codes, table, k, w, slide, W))
+    np.testing.assert_array_equal(np.asarray(y), y_ref)
+
+
 def test_model_dispatches_lean_pallas():
     """TelomereScanModel with use_pallas picks the lean wire for clean
     batches and the dense wire when a read carries N — identical t/has."""
