@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Step-2 padding: 'static' = one device program for the whole "
                         "run (fast startup); 'bucket' = pad per batch (less compute "
                         "on short-read data, one compile per length bucket)")
+    p.add_argument("--kernel", choices=["auto", "xla", "greedy", "sum"],
+                   default="auto",
+                   help="Step-2 compute path: 'xla' = the lean-wire XLA kernels "
+                        "(default; fewest host->device bytes), 'sum' = the fused "
+                        "Pallas sum-signal kernel (fastest on-chip; aperiodic "
+                        "tables), 'greedy' = the fused Pallas greedy kernel. "
+                        "'auto' honors TOPSICLE_USE_PALLAS, else 'xla'")
     # --- multi-host (reference analog: manual SLURM job splitting,
     # README.md:261-270 — here it is automatic and deterministic) ---
     p.add_argument("--coordinator", metavar="HOST:PORT", type=str, default=None,
@@ -113,6 +120,8 @@ def config_from_args(args: argparse.Namespace) -> TopsicleConfig:
         resume=args.resume,
         trace_dir=args.traceDir,
         scan_length_mode=args.scanLengthMode,
+        use_pallas={"auto": None, "xla": False,
+                    "greedy": "greedy", "sum": "sum"}[args.kernel],
         process_id=args.processId,
         process_count=args.processCount,
         shard_mode=args.shardMode,
