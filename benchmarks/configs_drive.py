@@ -137,8 +137,16 @@ def _run_cli(argv, poll_outdir=None, kill_after_rows=None):
     p = subprocess.Popen([sys.executable, "-m", "topsicle_tpu.cli"] + argv,
                          stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     killed_at = None
+    done = None     # (status, rusage) once reaped
     if kill_after_rows is not None:
-        while p.poll() is None:
+        # poll via non-blocking wait4 (NOT p.poll(), which reaps the
+        # child and makes the final wait4 raise ECHILD if the run
+        # finishes before the CSV reaches the kill threshold)
+        while True:
+            pid, status, ru = os.wait4(p.pid, os.WNOHANG)
+            if pid:
+                done = (status, ru)
+                break
             time.sleep(1.0)
             try:
                 with open(csv_path, "rb") as fh:
@@ -149,7 +157,11 @@ def _run_cli(argv, poll_outdir=None, kill_after_rows=None):
                 killed_at = rows
                 os.kill(p.pid, signal.SIGKILL)   # exact PID, never a pattern
                 break
-    _, status, ru = os.wait4(p.pid, 0)
+    if done is None:
+        _, status, ru = os.wait4(p.pid, 0)
+    else:
+        status, ru = done
+    p.returncode = 0    # mark reaped so Popen's destructor stays quiet
     wall = time.time() - t0
     rc = os.waitstatus_to_exitcode(status) if hasattr(
         os, "waitstatus_to_exitcode") else status

@@ -282,6 +282,7 @@ def resolve_pallas_kind(requested=None) -> str | None:
     argument (bool or kind string) > TOPSICLE_USE_PALLAS env var
     ("sum" selects the sum kernel; "1"/"true"/"greedy" the greedy
     one; "0"/"false"/"" none)."""
+    from_env = requested is None
     if requested is not None:
         if isinstance(requested, str):
             req = requested.strip().lower()
@@ -295,7 +296,12 @@ def resolve_pallas_kind(requested=None) -> str | None:
         return "sum"
     if req in ("1", "true", "yes", "greedy"):
         return "greedy"
-    raise ValueError(f"unknown Pallas kernel kind {requested!r}")
+    if from_env:
+        # legacy env semantics: any other truthy value selected the
+        # (then only) Pallas kernel — keep that working rather than
+        # crashing every model construction on a stale env var
+        return "greedy"
+    raise ValueError(f"unknown Pallas kernel kind {req!r}")
 
 
 def resolve_use_pallas(requested=None) -> bool:
@@ -451,14 +457,18 @@ class TelomereScanModel:
                 # complement list) must count twice per match, which
                 # boundary_sum_signal's per-entry planes do and the
                 # fused word cannot
-                and len(set(packed_table.tolist())) == len(packed_table)):
-            # the sum-signal kernel's greedy==occurrence identity only
-            # holds for aperiodic, duplicate-free tables — degrade to
-            # the exact kernel
+                and len(set(packed_table.tolist())) == len(packed_table)
+                # presence word holds at most 31 bits; base-5 rolling
+                # codes overflow int32 past 5**13 (the greedy kernel's
+                # base-4 codes are safe through MAX_ROLLING_K)
+                and self.K <= 31 and self.k <= 13):
+            # the sum-signal kernel's validity envelope: aperiodic,
+            # duplicate-free, K <= 31, k <= 13 — degrade to the exact
+            # kernel outside it (same contract config.py documents)
             import warnings
             warnings.warn("Pallas kernel 'sum' requires an aperiodic "
-                          "duplicate-free k-mer table; falling back to "
-                          "'greedy'")
+                          "duplicate-free k-mer table with K <= 31 "
+                          "entries and k <= 13; falling back to 'greedy'")
             self.pallas_kind = "greedy"
         self.use_pallas = self.pallas_kind is not None
         # On non-TPU backends an explicitly requested Pallas path runs in

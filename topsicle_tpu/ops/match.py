@@ -385,7 +385,9 @@ def _sliding_reduce(x: jax.Array, width: int, op) -> jax.Array:
     w = 1
     while w <= width:
         pows.append((w, s))
-        s = op(s, _shift_left_zero(s, w))
+        if w * 2 > width:          # next doubling would go unused
+            break                  # (XLA would DCE it; Mosaic's copy of
+        s = op(s, _shift_left_zero(s, w))   # this pattern does not)
         w *= 2
     total = None
     off = 0

@@ -318,6 +318,8 @@ def _sum_signal_kernel(packed_ref, invalid_ref, table_ref, out_ref, *,
         w = 1
         while w <= width:
             pows.append((w, s))
+            if w * 2 > width:      # next doubling would go unused
+                break
             s = op(s, shl(s, w, dt))
             w *= 2
         total = None
@@ -392,6 +394,9 @@ def _signal_pallas_call(packed, aux, table, *, k, K, window_size, slide, L,
         raise ValueError(f"pallas step2 requires batch divisible by {R}")
     if mode == "sum" and K > 31:
         raise ValueError("sum-signal kernel holds at most 31 presence bits")
+    if mode == "sum" and 5 ** k > 0x7FFFFFFF:   # k >= 14
+        raise ValueError("sum-signal kernel's base-5 rolling codes "
+                         "overflow int32 for k > 13")
 
     if mode == "sum":
         # base-5 recode of the rolling-code table (kernel docstring: a
