@@ -146,8 +146,14 @@ def _draw_history_update(model, source, ms_per_iter, chain_path,
     except Exception:
         pass
     draws = hist.setdefault(key, [])
-    draws.append({"ms": ms_per_iter, "source": source})
-    best_prev = min((d["ms"] for d in draws[:-1]), default=None)
+    draws.append({"ms": ms_per_iter,
+                  "source": source if binary else source + "-discarded"})
+    # keep-best decisions compare only against draws whose BINARY was
+    # kept: a discarded reroll draw (measured, not installed) must not
+    # ratchet the threshold below anything the cache can reproduce
+    best_prev = min((d["ms"] for d in draws[:-1]
+                     if not d.get("source", "").endswith("-discarded")),
+                    default=None)
     if binary and chain_path and os.path.exists(chain_path):
         best_blob = chain_path + ".best"
         try:
@@ -251,18 +257,23 @@ def _resident_measure(jax, batching, model, ep, el, tail_codes, lens, nw):
         return best
 
     best = slope(n_small, n_big)
-    # Regrow toward a >=1 s spread, bounded: a noise-flipped (<=0)
-    # slope must not explode n_big (the cap keeps a worst-case ~6
-    # ms/iter fallback path under ~5 min for the retry), and two
-    # regrows suffice from any starting point.
-    for _ in range(2):
-        if best > 0 and best * (n_big - n_small) >= 1.0:
-            break
-        if best > 0:
-            n_big = n_small + min(int(1.0 / best) + 1, 50_000)
-        else:
-            n_big = min(n_big * 8, 50_000)
+    # Regrow toward a >=1 s spread, bounded.  A noise-flipped (<=0)
+    # slope gets ONE 8x retry; a small-but-valid slope grows straight
+    # to the 1-second target.  If the slope is still non-positive the
+    # probe FAILS (raise) rather than ever recording a garbage value —
+    # a negative headline would also poison the keep-best history and
+    # block every future reroll install.
+    if best <= 0:
+        n_big = min(n_big * 8, 50_000)
         best = slope(n_small, n_big)
+    elif best * (n_big - n_small) < 1.0:
+        n_big = n_small + min(int(1.0 / best) + 1, 50_000)
+        best = slope(n_small, n_big)
+    if best <= 1e-6:
+        raise RuntimeError(
+            f"chained slope non-positive ({best:.3e} s/iter) even at a "
+            f"{n_big}-iteration spread — tunnel timing noise exceeded the "
+            "signal; not recording")
     bp_per_iter = B * (2 * NO_BP + Lpad)
     src = next(iter(chain.sources.values()), "jit")
     out = {
@@ -324,7 +335,10 @@ def _reroll_lottery(resident, model, remaining):
     n = int(os.environ.get("TOPSICLE_BENCH_REROLL", "2"))
     if n <= 0 or resident is None or resident.get("aot_source") == "jit":
         return
-    best_ms = resident.get("ms_per_iter_best_draw", resident["ms_per_iter"])
+    # compare against what the PINNED binary measured this run — not
+    # the history best, which may include discarded (binary-less)
+    # draws the cache cannot reproduce
+    best_ms = resident["ms_per_iter"]
     rolls = []
     installed = False
     for i in range(n):
@@ -378,6 +392,11 @@ def _reroll_lottery(resident, model, remaining):
             except OSError as e:
                 print(f"[bench] reroll install failed: {e}",
                       file=sys.stderr, flush=True)
+                # the measurement still happened — record it as a
+                # binary-less draw (the history contract: every draw
+                # lands, kept or not)
+                _draw_history_update(model, "compile", ms, main_path,
+                                     binary=False)
         elif ms is not None:
             # record under the PROGRAM's key (main_path basename), but
             # never touch binaries — the cache still holds the pinned

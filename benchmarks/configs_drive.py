@@ -155,7 +155,10 @@ def _run_cli(argv, poll_outdir=None, kill_after_rows=None):
                 rows = 0
             if rows >= kill_after_rows:
                 killed_at = rows
-                os.kill(p.pid, signal.SIGKILL)   # exact PID, never a pattern
+                try:
+                    os.kill(p.pid, signal.SIGKILL)  # exact PID, no patterns
+                except ProcessLookupError:
+                    killed_at = None   # finished between poll and kill
                 break
     if done is None:
         _, status, ru = os.wait4(p.pid, 0)

@@ -91,7 +91,8 @@ _BLOCK_WINDOWS = int(_os.environ.get("TOPSICLE_PALLAS_WB", "1920"))
 # scoped VMEM (20.56M > 16M).  WB=3456 (single window block) measured
 # WORSE at every R (0.113 at R=32).  Auto-clamped per batch to a
 # divisor of B (halving keeps it a multiple of 8).
-_SUM_READS = int(_os.environ.get("TOPSICLE_PALLAS_SUM_R", "64"))
+_SUM_READS = max(8, (int(_os.environ.get("TOPSICLE_PALLAS_SUM_R", "64"))
+                     // 8) * 8)    # sublane tiling wants multiples of 8
 # int16 sliding-reduce planes in the sum kernel (compares stay int32 —
 # Mosaic/v5e rejects i16 vector compares; see _sum_signal_kernel)
 _SUM16 = _os.environ.get("TOPSICLE_PALLAS_SUM16", "1").strip().lower() \
@@ -278,8 +279,10 @@ def _sum_signal_kernel(packed_ref, invalid_ref, table_ref, out_ref, *,
     vdt = jnp.int32                 # compare stage: int32 only (see above)
     # sliding-reduce dtype: int16 halves instruction count when the
     # presence word fits 15 bits (adds/ors on i16 vectors lower fine;
-    # only compares do not)
-    wdt = jnp.int16 if (K <= 15 and _SUM16) else jnp.int32
+    # only compares do not) AND the accumulated window total fits —
+    # S <= J per window (at most one match per admissible offset), so
+    # giant --windowSize values (> ~32k) must stay int32
+    wdt = jnp.int16 if (K <= 15 and J <= 32767 and _SUM16) else jnp.int32
     packed = packed_ref[...].astype(jnp.int32)            # [R, Pb//4]
 
     # ---- planar unpack + phase planes, invalid clipped to digit 4 ----
@@ -390,6 +393,8 @@ def _signal_pallas_call(packed, aux, table, *, k, K, window_size, slide, L,
     R = _SUM_READS if mode == "sum" else _READS_PER_PROGRAM
     while R > 8 and (B % R or R > B):
         R //= 2
+    if R % 8:       # halving an env-overridden 24/40/... can land off-grid
+        R = 8
     if B % R:
         raise ValueError(f"pallas step2 requires batch divisible by {R}")
     if mode == "sum" and K > 31:
