@@ -606,6 +606,9 @@ def main():
             "resident_ms_per_iter": resident["ms_per_iter"],
             "startup_s": resident["startup_s"],
             "strategy": f"{model.window_strategy}/{model.greedy_strategy}",
+            # B=128 is measured optimal: per-iter time is linear in B
+            # to within 4% up to 1024 (BASELINE.md B-sweep table)
+            "batch_b": B,
         }
         # draw-record fields (VERDICT r3 item 7): which binary ran and
         # the history range, so a bad draw never reads as a regression
